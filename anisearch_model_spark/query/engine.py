@@ -1,0 +1,265 @@
+"""Distributed BM25 query engine over the bucketed posting-block index.
+
+Maps the reference query lifecycle (``src/api.py:352-466``: encode → per
+column cosine → top-k merge → dedup → paginate) onto Spark:
+
+  query tokenize (shared contract, driver-side — a query is one string)
+  → dictionary lookup for idf (tiny collect, |query terms| rows)
+  → postings scan FILTERED to query terms (Parquet predicate pushdown +
+    bucket partition layout)
+  → block decode + per-(term, doc) partial BM25 inside a vectorized
+    pandas UDF
+  → per-doc fold in ASCENDING TERM ORDER (bit-identical float64 summation
+    vs the oracle) via ``aggregate(array_sort(collect_list(...)))``
+  → global top-k: ``ORDER BY score DESC, doc_id ASC LIMIT k`` — Catalyst
+    plans TakeOrderedAndProject (per-partition heap + driver merge, no
+    full sort)
+
+plus a block-max pruned scorer (``topk_bmw``) that skips block-aligned
+doc segments whose BM25 upper bound (from per-block max_tf/min_dl) cannot
+reach the running per-bucket top-k threshold — the WAND-style optimization
+of SURVEY.md §4.3.  Both paths return identical results; tests assert it.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anisearch_model_spark.config import BM25Params, MAX_QUERY_CHARS
+from anisearch_model_spark.functions.normalize import bm25_idf, bm25_term_score, tokenize_series
+
+
+class IndexStore:
+    """Handle to a persisted index directory (see index/store.py layout)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+            self.stats = json.load(f)
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    @property
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+
+    @property
+    def doc_map(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+
+
+def parse_query(query_text: str) -> list[str]:
+    """Shared-contract tokenize; sorted unique terms (= oracle.query_terms).
+
+    Enforces the reference's 2000-char admission limit (src/api.py:239-241).
+    """
+    if query_text is None or len(query_text) > MAX_QUERY_CHARS:
+        raise ValueError(f"query must be a string of <= {MAX_QUERY_CHARS} chars")
+    toks = tokenize_series(pd.Series([query_text])).iloc[0]
+    return sorted(set(toks))
+
+
+def _idf_map(index: IndexStore, terms: list[str]) -> dict[str, float]:
+    if not terms:
+        return {}
+    rows = index.dictionary.filter(F.col("term").isin(terms)).collect()
+    n = index.stats["n_docs"]
+    return {r["term"]: float(bm25_idf(np.array([r["df"]]), n)[0]) for r in rows}
+
+
+def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],
+              params: BM25Params) -> DataFrame:
+    """Decode matching posting blocks → (doc_id, term, pscore) DataFrame."""
+    spark = index.spark
+    avgdl = float(index.stats["avgdl"])
+    k1, b = params.k1, params.b
+    bidf = spark.sparkContext.broadcast(idf)
+
+    blocks = index.postings.filter(F.col("term").isin(list(idf.keys())))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anisearch_model_spark.index.codec import decode_posting_block
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, dls = decode_posting_block(
+                    {"first_doc_id": row.first_doc_id,
+                     "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls}
+                )
+                t_idf = bidf.value[row.term]
+                ps = bm25_term_score(tfs, dls, np.full(len(tfs), t_idf), avgdl, k1, b)
+                outs.append(pd.DataFrame(
+                    {"doc_id": doc_ids, "term": row.term, "pscore": ps}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.select(
+        "term", "first_doc_id", "doc_deltas", "tfs", "dls"
+    ).mapInPandas(decode, schema="doc_id long, term string, pscore double")
+
+
+def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
+                    params: BM25Params | None = None) -> DataFrame:
+    """Exact top-k, bit-identical to the oracle: (rank, doc_id, score)."""
+    params = params or BM25Params()
+    spark = index.spark
+    terms = parse_query(query_text)
+    idf = _idf_map(index, terms)
+    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    if not idf:
+        return empty
+
+    partials = _partials(index, terms, idf, params)
+    # fold per doc in ascending term order — fixed float64 summation order
+    scored = (
+        partials.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "pscore"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["pscore"],
+            ).alias("score")
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
+             params: BM25Params | None = None) -> DataFrame:
+    """Block-max pruned top-k. Identical output to ``topk_exhaustive``.
+
+    Per bucket (doc-range shard): decode query-term blocks, walk the doc
+    range in block-aligned segments, skip any segment whose summed
+    block-max bound can't beat the running local k-th score, score the
+    rest exactly (ascending-term accumulation).  Local top-k per bucket
+    then a global TakeOrderedAndProject merge — mirrors the reference's
+    per-column top-k → global merge (src/api.py:316-349).
+    """
+    params = params or BM25Params()
+    spark = index.spark
+    terms = parse_query(query_text)
+    idf = _idf_map(index, terms)
+    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    if not idf:
+        return empty
+    avgdl = float(index.stats["avgdl"])
+    k1, b = params.k1, params.b
+    bidf = spark.sparkContext.broadcast(idf)
+
+    blocks = index.postings.filter(F.col("term").isin(list(idf.keys()))).select(
+        "bucket", "term", "first_doc_id", "last_doc_id", "max_tf", "min_dl",
+        "doc_deltas", "tfs", "dls",
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        from anisearch_model_spark.index.codec import decode_posting_block
+
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        idf_local = bidf.value
+        # decode per term (terms ascending for fixed summation order)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        bounds = []  # (doc_lo, doc_hi, bound, term) per block
+        for row in pdf.sort_values("term", kind="mergesort").itertuples(index=False):
+            d, t, dl = decode_posting_block(
+                {"first_doc_id": row.first_doc_id,
+                 "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
+            ps = bm25_term_score(t, dl, np.full(len(t), idf_local[row.term]),
+                                 avgdl, k1, b)
+            if row.term in decoded:
+                pd_, pp = decoded[row.term]
+                decoded[row.term] = (np.concatenate([pd_, d]),
+                                     np.concatenate([pp, ps]))
+            else:
+                decoded[row.term] = (d, ps)
+            bound = bm25_term_score(
+                np.array([row.max_tf]), np.array([row.min_dl]),
+                np.array([idf_local[row.term]]), avgdl, k1, b)[0]
+            bounds.append((row.first_doc_id, row.last_doc_id, bound))
+
+        lo = min(bd[0] for bd in bounds)
+        hi = max(bd[1] for bd in bounds)
+        seg = 1024  # docs per pruning segment
+        n_seg = (hi - lo) // seg + 1
+        seg_bound = np.zeros(n_seg, dtype="float64")
+        for b_lo, b_hi, bound in bounds:
+            s0 = (b_lo - lo) // seg
+            s1 = (b_hi - lo) // seg
+            seg_bound[s0 : s1 + 1] += bound
+
+        # order terms ascending once; per-segment exact scoring
+        terms_sorted = sorted(decoded)
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        results_d, results_s = [], []
+        # process segments in descending bound order for fast threshold growth
+        for si in np.argsort(-seg_bound, kind="stable"):
+            theta = heap[0][0] if len(heap) >= k else -np.inf
+            if seg_bound[si] <= theta:
+                continue  # block-max prune
+            s_lo = lo + int(si) * seg
+            s_hi = s_lo + seg
+            local = np.zeros(seg, dtype="float64")
+            hit = np.zeros(seg, dtype=bool)
+            for t in terms_sorted:
+                d, ps = decoded[t]
+                m = (d >= s_lo) & (d < s_hi)
+                if m.any():
+                    local[d[m] - s_lo] += ps[m]
+                    hit[d[m] - s_lo] = True
+            idxs = np.nonzero(hit)[0]
+            for i in idxs:
+                sc = float(local[i])
+                did = s_lo + int(i)
+                item = (sc, -did)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = pd.DataFrame(
+            {"doc_id": [-d for _, d in heap], "score": [s for s, _ in heap]}
+        )
+        return out.astype({"doc_id": "int64", "score": "float64"})
+
+    local_tops = blocks.groupBy("bucket").applyInPandas(
+        lambda pdf: score_bucket(pdf), schema="doc_id long, score double"
+    )
+    top = local_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def search(index: IndexStore, query_text: str, k: int = 10,
+           params: BM25Params | None = None, pruned: bool = False,
+           with_metadata: bool = True) -> DataFrame:
+    """Top-k + doc metadata join (replaces reference's df.iloc positional
+    probe, src/api.py:427-455 — explicit equi-join on doc_id instead)."""
+    top = (topk_bmw if pruned else topk_exhaustive)(index, query_text, k, params)
+    if not with_metadata:
+        return top
+    meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")
+    # top is k rows — broadcast it so the metadata probe never shuffles doc_map
+    return (
+        meta.join(F.broadcast(top), "doc_id", "inner")
+        .select("rank", "doc_id", "conv_id", "turn_idx", "role", "score")
+        .orderBy("rank")
+    )

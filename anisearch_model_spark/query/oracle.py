@@ -1,0 +1,94 @@
+"""Single-node reference BM25 engine — the oracle that DEFINES the ranking
+contract (SURVEY.md §2.5 "rank-identity contract").
+
+This is our stand-in for the reference's single-node scorer
+(``src/test.py:140-218``: encode query → per-column cosine → per-column
+top-k → merge → dedup → rank).  Pure pandas/NumPy, float64, exhaustive —
+no pruning — so it is the ground truth the distributed engine must
+reproduce exactly:
+
+  * per-(term, doc) partial score computed by the SAME
+    ``bm25_term_score`` kernel the Spark engine uses;
+  * per-doc total = sum of partials in ASCENDING TERM ORDER (fixed
+    float64 summation order — the distributed engine sorts the same way
+    before folding, so scores are bit-identical, not merely close);
+  * ordering: score DESC, doc_id ASC (explicit tie-break replacing the
+    reference's reliance on stable-sort emission order, src/api.py:345-349);
+  * rank: dense 1-based in emission order (src/api.py:448).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from anisearch_model_spark.config import BM25Params
+from anisearch_model_spark.functions.normalize import (
+    bm25_idf,
+    bm25_term_score,
+    tokenize_series,
+    term_frequency_frame,
+)
+
+
+class OracleIndex:
+    """In-memory inverted index over a small corpus (doc_id, text)."""
+
+    def __init__(self, corpus: pd.DataFrame, params: BM25Params | None = None):
+        """corpus: DataFrame with columns doc_id (int64, unique), text."""
+        self.params = params or BM25Params()
+        corpus = corpus.reset_index(drop=True)
+        tf = term_frequency_frame(corpus["doc_id"], corpus["text"])
+        toks = tokenize_series(corpus["text"])
+        self.doc_len = pd.Series(
+            toks.str.len().to_numpy(dtype="int64"), index=corpus["doc_id"].to_numpy()
+        )
+        self.n_docs = int(len(corpus))
+        self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
+        self.postings = tf  # columns: doc_id, term, tf, doc_len
+        self.df = tf.groupby("term")["doc_id"].nunique()
+
+    def query_terms(self, query_text: str) -> list[str]:
+        """Tokenize a query with the shared contract; SORTED UNIQUE terms.
+
+        Sorting fixes the float summation order; duplicate query terms do
+        not re-weight (matching standard BM25 with binary query tf).
+        """
+        toks = tokenize_series(pd.Series([query_text])).iloc[0]
+        return sorted(set(toks))
+
+    def score(self, query_text: str) -> pd.DataFrame:
+        """Exhaustive scores for all matching docs → (doc_id, score)."""
+        terms = [t for t in self.query_terms(query_text) if t in self.df.index]
+        if not terms or self.avgdl == 0.0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        k1, b = self.params.k1, self.params.b
+        per_doc: dict[int, float] = {}
+        for t in terms:  # ascending term order — fixed summation order
+            plist = self.postings[self.postings["term"] == t]
+            idf = bm25_idf(np.array([self.df[t]]), self.n_docs)[0]
+            partial = bm25_term_score(
+                plist["tf"].to_numpy(),
+                plist["doc_len"].to_numpy(),
+                np.full(len(plist), idf),
+                self.avgdl,
+                k1,
+                b,
+            )
+            for d, s in zip(plist["doc_id"].to_numpy(), partial):
+                per_doc[int(d)] = per_doc.get(int(d), 0.0) + float(s)
+        out = pd.DataFrame(
+            {"doc_id": list(per_doc.keys()), "score": list(per_doc.values())}
+        )
+        return out.astype({"doc_id": "int64", "score": "float64"})
+
+    def topk(self, query_text: str, k: int = 10) -> pd.DataFrame:
+        """(rank, doc_id, score) — score DESC, doc_id ASC, rank dense 1-based."""
+        scored = self.score(query_text)
+        scored = scored.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        scored = scored.reset_index(drop=True)
+        scored.insert(0, "rank", np.arange(1, len(scored) + 1, dtype="int64"))
+        return scored
