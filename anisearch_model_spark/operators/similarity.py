@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Replaces the reference's dense 1×N cosine kernel (``src/api.py:270-313``,
+torch ``cos_sim`` against an in-memory matrix) with distributed variants:
+
+  * ``cosine_topk`` — brute-force exact top-k: JVM-side ``zip_with`` +
+    ``aggregate`` dot products in float64, ``ORDER BY ... LIMIT k`` →
+    TakeOrderedAndProject (per-partition heap, no full sort).  The
+    baseline and the oracle-checkable path.
+  * ``RandomHyperplaneLSH`` — the scale path: seeded random-hyperplane
+    sign buckets; probe only the query's bucket (+ optional 1-bit
+    neighbors), exact cosine on candidates.  At 100 TB the bucket column
+    is a partition key, so a query prunes to ~1/2^bits of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (rank, vec_id, cosine). Deterministic tie-break
+    on vec_id asc; cosine rounded to 4dp (cross-engine comparability)."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    emb = _as_double(F.col(vec_col))
+    dot = _dot(emb, qlit)
+    dnorm = F.sqrt(_dot(emb, emb))
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(dot / (dnorm * F.lit(qnorm)), 4).alias("cosine"),
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+class RandomHyperplaneLSH:
+    """Seeded sign-LSH index for approximate NN over array<float>.
+
+    ``fit`` materializes (vec_id, bucket); ``query`` probes the query's
+    bucket (and optionally all 1-bit-flip neighbor buckets) and re-ranks
+    candidates with exact cosine.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        self.dim = dim
+        self.n_planes = n_planes
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def _bucket_expr(self, vec_col):
+        emb = _as_double(F.col(vec_col))
+        bits = []
+        for p in range(self.n_planes):
+            plane = F.array(*[F.lit(float(w)) for w in self.planes[p]])
+            bits.append(F.when(_dot(emb, plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+        bucket = F.lit(0)
+        for p, bit in enumerate(bits):
+            bucket = bucket + bit * F.lit(int(2**p))
+        return bucket.cast("int")
+
+    def transform(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return df.withColumn("bucket", self._bucket_expr(vec_col))
+
+    def query_bucket(self, query_vec: list[float]) -> int:
+        signs = (self.planes @ np.asarray(query_vec, dtype="float64")) >= 0
+        return int(sum(int(s) << p for p, s in enumerate(signs)))
+
+    def query(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        multiprobe: bool = True,
+    ) -> DataFrame:
+        """(rank, vec_id, cosine) among candidate buckets only."""
+        qb = self.query_bucket(query_vec)
+        buckets = [qb] + (
+            [qb ^ (1 << p) for p in range(self.n_planes)] if multiprobe else []
+        )
+        indexed = self.transform(df, vec_col)
+        cands = indexed.filter(F.col("bucket").isin(buckets)).drop("bucket")
+        return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,102 @@
+"""Text-analysis operators over a document corpus — all JVM-side built-ins
+(whole-stage-codegen'd; no Python in the hot path).
+
+These are the training-data-pipeline operators the task brief requires
+beyond the reference's own surface: token counting (generalizes the
+reference's corpus-wide max-token census, ``src/misc/max_tokens.py:17-78``),
+quality scoring, language ID (n-gram/stopword heuristic), and document
+fingerprinting.  Every function takes/returns DataFrames and composes with
+Catalyst (filters push down through them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword probe set for the language-ID heuristic: high-frequency English
+# function words (deterministic, frozen).
+_EN_PROBES = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "that"]
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (reference max-token census analog, A4)."""
+    t = F.trim(F.col(text_col))
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return df.withColumn("n_tokens", n.cast("long"))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite.
+
+    All ratios rounded to 4dp so distributed float math stays comparable
+    across engines.
+    """
+    t = F.col(text_col)
+    length = F.length(t).cast("double")
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    lowered = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(
+        (
+            F.size(F.split(lowered, f" {w} ")) - F.lit(1)
+            for w in _EN_PROBES
+        ),
+        F.lit(0),
+    ).cast("double")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("double")
+    out = (
+        df.withColumn("len_chars", length.cast("long"))
+        .withColumn(
+            "alnum_ratio",
+            F.round(F.when(length > 0, alnum / length).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.when(length > 0, punct / length).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)), 4
+            ),
+        )
+    )
+    # floor-truncate to 4dp instead of round(): round's half-way tie
+    # behavior differs across engines (HALF_UP vs half-even) while floor of
+    # an identical IEEE double is engine-independent.
+    composite = F.least(
+        F.lit(1.0),
+        F.col("alnum_ratio") * 0.5
+        + F.least(F.col("stopword_ratio"), F.lit(0.6)) * 0.5
+        + F.when(F.col("len_chars") >= 100, 0.2).otherwise(0.0),
+    )
+    return out.withColumn(
+        "quality_score", (F.floor(composite * 10000) / 10000).cast("double")
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English stopword hit-rate over tokens.
+
+    'en' if ≥2 distinct probe words occur (word-bounded), else 'unk'.
+    Deterministic and SQL-expressible (the DuckDB oracle mirrors it).
+    """
+    lowered = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    hits = sum(
+        (F.when(lowered.contains(f" {w} "), 1).otherwise(0) for w in _EN_PROBES),
+        F.lit(0),
+    )
+    return df.withColumn(
+        "lang_pred", F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-text fingerprint: md5 of lowercase, whitespace-collapsed
+    text.  Identical across engines (md5 is md5), used as the exact-dedup
+    key at 100 TB scale (hash-groupBy instead of comparing full strings)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,89 @@
+"""Multi-field result semantics: per-field top-k → merge → dedup-keeping-
+best → rank → paginate (reference operators T1–T5, SURVEY.md §2.5).
+
+The reference scores 10 synopsis columns per entity, takes per-column
+top-k (``src/api.py:338-344``), concat-merges (``:345-349``), dedups by
+title keeping the first (= best) hit (``:427-455``), and paginates
+(``:462-466``).  Here the same semantics run as window functions with
+EXPLICIT tie-breaks — (score DESC, doc_id/entity ASC, field ASC) — instead
+of the reference's implicit stable-sort emission order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anisearch_model_spark.config import RESULTS_PER_PAGE
+
+
+def per_field_topk(scored: DataFrame, k: int, field_col: str = "field",
+                   score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
+    """T1: keep top-k rows per field (candidate generation)."""
+    w = Window.partitionBy(field_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def dedup_best(cands: DataFrame, key_col: str, score_col: str = "score",
+               field_col: str = "field", id_col: str = "doc_id") -> DataFrame:
+    """T3: one row per key — the best-scoring field hit (ties: field asc,
+    id asc; replaces reference first-seen-wins under stable sort)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(score_col), F.asc(field_col), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def rank_and_paginate(deduped: DataFrame, page: int = 1,
+                      results_per_page: int = RESULTS_PER_PAGE,
+                      score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
+    """T4+T5: dense global rank then page slice (reference recomputes the
+    full ranking per page, src/api.py:424 — we keep that contract; the
+    candidate pool k should be page*results_per_page upstream)."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = deduped.withColumn("rank", F.row_number().over(w).cast("long"))
+    lo = (page - 1) * results_per_page
+    hi = page * results_per_page
+    return ranked.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
+
+
+def multifield_search(scored: DataFrame, key_col: str, k: int = 10,
+                      page: int = 1, results_per_page: int = RESULTS_PER_PAGE,
+                      field_col: str = "field", score_col: str = "score",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Full T1→T5 pipeline over pre-scored (id, key, field, score) rows."""
+    cand_k = max(k, page * results_per_page)
+    cands = per_field_topk(scored, cand_k, field_col, score_col, id_col)
+    best = dedup_best(cands, key_col, score_col, field_col, id_col)
+    return rank_and_paginate(best, page, results_per_page, score_col, id_col)
+
+
+def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
+                         pruned: bool = False) -> DataFrame:
+    """Conversation-level search: score turns with BM25, dedup by conv_id
+    keeping the best turn (role = the reference's 'source_column'), rank,
+    paginate.  The transcript-native analog of the reference's per-title
+    dedup (src/api.py:427-455)."""
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw, topk_exhaustive
+
+    assert isinstance(index, IndexStore)
+    cand_k = max(k * 5, page * k)  # over-fetch turns before conv-dedup
+    top_turns = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k)
+    meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")
+    cands = top_turns.join(meta, "doc_id")
+    best = dedup_best(cands, "conv_id", score_col="score", field_col="role",
+                      id_col="doc_id")
+    return rank_and_paginate(best.drop("rank"), page, k, "score", "doc_id").select(
+        "rank", "conv_id", "doc_id", "turn_idx", "role", "score"
+    )
