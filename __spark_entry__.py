@@ -346,7 +346,7 @@ def dedup_minhash(spark, sf_dir):
     from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=8, band_size=2, threshold=0.4)
+    return minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8)
 
 
 def dedup_simhash(spark, sf_dir):
@@ -400,8 +400,9 @@ def bm25_topk_documents(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
     ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    # single explode pass: dl and df both derive from the tf aggregate
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_df = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -725,12 +726,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {toks_cte},
             sig AS (
               SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
-              FROM toks CROSS JOIN range(8) r(i)
+              FROM toks CROSS JOIN range(16) r(i)
               GROUP BY doc_id, i),
             bands AS (
-              SELECT doc_id, (i // 2)::int AS band,
+              SELECT doc_id, (i // 4)::int AS band,
                      md5(string_agg(minhash, '' ORDER BY i)) AS band_key
-              FROM sig GROUP BY doc_id, (i // 2)::int),
+              FROM sig GROUP BY doc_id, (i // 4)::int),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b USING (band, band_key)
@@ -747,7 +748,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.4
+            WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8
         """,
         "dedup_simhash": f"""
             WITH {toks_cte},

@@ -40,6 +40,42 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _verify_jaccard(cand: DataFrame, toks: DataFrame, sizes: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verify, CANDIDATE-DRIVEN: intersections are computed
+    by probing each candidate pair's token sets — work is O(|cand| ×
+    tokens/doc), never the all-shared-token self-join that explodes
+    quadratically on Zipf-hot tokens.  At 100 TB this is the difference
+    between a bounded verify stage and an un-runnable one."""
+    x = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    y = toks.select(
+        F.col("doc_id").alias("_doc_b_y"), F.col("token").alias("_token_y")
+    )
+    inter = (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("_doc_b_y"))
+            & (F.col("token") == F.col("_token_y")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs: (fingerprint, doc_id,
     keep) where keep marks the smallest doc_id of each group."""
@@ -81,46 +117,29 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    inter = (
-        toks.alias("x")
-        .join(toks.alias("y"), "token")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
-    out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return out
+    return _verify_jaccard(cand, toks, sizes, threshold)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 16
 ) -> DataFrame:
     """(doc_id, i, minhash) — md5-family MinHash signature components."""
     toks = _tokens(df, id_col, text_col)
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        "token",
-    ).withColumn(
-        "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("token")))
+    # hash each DISTINCT vocabulary token once per hash function and
+    # broadcast the (token, i, h) table back — md5 cost scales with |vocab|,
+    # not with corpus token count (Zipf: vocab ≪ tokens at any scale)
+    tok_hash = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        )
+        .withColumn(
+            "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("token")))
+        )
     )
+    hashed = toks.join(F.broadcast(tok_hash), "token")
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minhash"))
 
 
@@ -128,15 +147,22 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 8,
-    band_size: int = 2,
-    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
 
     shingle→minhash→band→bucket-join: docs sharing any band key become
     candidates; candidates are verified with true token-set Jaccard.
     Returns (doc_a, doc_b, jaccard).
+
+    Band sizing matters at scale: collision probability per band is
+    s^band_size, so 4-hash bands keep the false-candidate rate ~s^4 —
+    with Zipf-head vocabularies (most docs share the hottest tokens,
+    true pairwise Jaccard ~0.2-0.3) 2-hash bands admit O(n^2) candidates
+    and the verify stage explodes; 4-hash bands keep it linear-ish while
+    still catching true near-dups (P(caught | s=0.8) ≈ 0.9).
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     bands = (
@@ -163,27 +189,7 @@ def minhash_lsh_pairs(
     )
     toks = _tokens(df, id_col, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    inter = (
-        toks.alias("x")
-        .join(toks.alias("y"), "token")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, toks, sizes, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

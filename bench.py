@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the engine's index-build + BM25-query path
+on a deterministic synthetic transcript corpus.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_turns_per_sec": ..., "n_turns": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _noop_write(df) -> None:
+    """Force full execution without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "200000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.session import get_spark
+
+    spark = get_spark(app_name="asms-bench", cores=cpus)
+
+    headline = [
+        "q1_pricing_summary",
+        "j2_key_rename_join",
+        "t1_topk_per_group",
+        "multifield_entity_topk",
+        "events_sessionize",
+        "tx_quality",
+        "dedup_exact",
+        "dedup_minhash",
+        "sim_cosine_topk",
+        "bm25_topk_documents",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        _noop_write(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # engine: index build throughput + query latency on synthetic transcripts
+    idx_dir = "/tmp/asms_bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    tr = gen_transcripts(spark, n_turns, seed=42)
+    t0 = time.time()
+    build_index(spark, tr, idx_dir, num_buckets=max(cpus, 16))
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    idx = IndexStore(spark, idx_dir)
+    t0 = time.time()
+    for q in ["hero battle magic world", "robot space pirate", "shadow light king"]:
+        _noop_write(topk_bmw(idx, q, 10))
+    timings["bm25_query_x3"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_index_build",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "build_turns_per_sec": round(n_turns / build_sec, 1),
+                "n_turns": n_turns,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Operator-level tests: dedup, similarity, text stats, multifield, etl,
+multimodal plumbing (SURVEY.md §5 style 1: tiny inline frames)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+
+
+def test_exact_duplicates(spark):
+    from anisearch_model_spark.operators.dedup import exact_duplicates
+
+    df = _docs(spark, [(1, "A  b c"), (2, "a b C"), (3, "other text"), (4, "a b c")])
+    out = exact_duplicates(df).toPandas().sort_values("doc_id")
+    # whitespace-collapsed lowercase match: 1,2,4 are one group
+    groups = out.groupby("fingerprint")["doc_id"].agg(list).to_dict()
+    assert sorted(map(sorted, groups.values())) == [[1, 2, 4], [3]]
+    keeps = out[out["keep"]]["doc_id"].tolist()
+    assert sorted(keeps) == [1, 3]  # min doc_id kept per group
+
+
+def test_jaccard_pairs_exact_value(spark):
+    from anisearch_model_spark.operators.dedup import jaccard_pairs
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+    )
+    out = jaccard_pairs(df, threshold=0.5, max_token_df=5).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["jaccard"] == pytest.approx(3 / 5, abs=1e-4)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over lazy dog near river bank today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words here xyz")]
+    out = minhash_lsh_pairs(_docs(spark, rows), threshold=0.5).toPandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    from anisearch_model_spark.operators.dedup import simhash
+
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d"), (3, "x y z w q")])
+    out = simhash(df).toPandas().set_index("doc_id")["simhash"]
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from anisearch_model_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = vecs[7].astype("float64")
+    got = cosine_topk(df, list(q), k=5).toPandas()
+
+    sims = (vecs.astype("float64") @ q) / (
+        np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q)
+    )
+    order = np.lexsort((np.arange(50), -np.round(sims, 4)))[:5]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["vec_id"].iloc[0] == 7  # self-match first
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), np.round(sims[order], 4), atol=1e-4
+    )
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    from anisearch_model_spark.operators.similarity import (
+        RandomHyperplaneLSH,
+        cosine_topk,
+    )
+
+    # clustered data: ANN is meaningful only when true neighbors are close
+    # (isotropic random vectors have ~0 cosine to their "nearest" points)
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((10, 32))
+    assign = rng.integers(0, 10, size=300)
+    vecs = (centers[assign] + 0.1 * rng.standard_normal((300, 32))).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = list(vecs[3].astype("float64"))
+    exact = set(cosine_topk(df, q, k=10).toPandas()["vec_id"])
+    lsh = RandomHyperplaneLSH(dim=32, n_planes=8, seed=42)
+    approx = set(lsh.query(df, q, k=10).toPandas()["vec_id"])
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, f"LSH multiprobe recall too low: {recall}"
+    assert 3 in approx  # the query vector itself must be found
+
+
+# ---------------------------------------------------------------- multifield
+
+
+def test_multifield_search_semantics(spark):
+    """T1-T5 against a hand-computed expectation (reference semantics:
+    per-field topk -> merge -> dedup best -> rank -> paginate)."""
+    from anisearch_model_spark.query.multifield import multifield_search
+
+    rows = [
+        # (item_id, entity, field, score)
+        (1, "e1", "a", 10.0),
+        (2, "e1", "b", 9.0),   # e1 dedups to item 1
+        (3, "e2", "a", 8.0),
+        (4, "e3", "b", 8.0),   # tie with item 3 at entity level
+        (5, "e4", "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, entity string, field string, score double")
+    out = multifield_search(df, key_col="entity", k=10, id_col="item_id").toPandas()
+    assert out["entity"].tolist() == ["e1", "e2", "e3", "e4"]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert out["item_id"].tolist() == [1, 3, 4, 5]  # tie: item_id asc
+
+
+def test_pagination_window(spark):
+    from anisearch_model_spark.query.multifield import rank_and_paginate
+
+    rows = [(i, float(100 - i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    page2 = rank_and_paginate(df, page=2, results_per_page=10).toPandas()
+    assert page2["rank"].tolist() == list(range(11, 21))
+    assert page2["doc_id"].tolist() == list(range(10, 20))
+
+
+# ----------------------------------------------------------------------- etl
+
+
+def test_coalesce_priority(spark):
+    from anisearch_model_spark.operators.etl import coalesce_priority
+
+    df = spark.createDataFrame(
+        [("", "B1", "C1"), ("unknown title", None, "C2"), ("A3", "B3", None)],
+        "t1 string, t2 string, t3 string",
+    )
+    out = coalesce_priority(df, "title", ["t1", "t2", "t3"]).toPandas()
+    assert out["title"].tolist() == ["B1", "C2", "A3"]
+
+
+def test_any_nonempty_and_blank_phrases(spark):
+    from anisearch_model_spark.operators.etl import any_nonempty_filter, blank_phrases
+
+    df = spark.createDataFrame(
+        [("good text", "x"), ("  ", ""), ("No synopsis available yet", "y")],
+        "syn string, other string",
+    )
+    blanked = blank_phrases(df, "syn", ["No synopsis"])
+    kept = any_nonempty_filter(blanked, ["syn"]).toPandas()
+    assert kept["syn"].tolist() == ["good text"]
+
+
+def test_dedup_across_columns(spark):
+    from anisearch_model_spark.operators.etl import dedup_across_columns
+
+    df = spark.createDataFrame(
+        [("same", "same", "diff"), ("a", "b", "a")], "c1 string, c2 string, c3 string"
+    )
+    out = dedup_across_columns(df, ["c1", "c2", "c3"]).toPandas()
+    assert out.iloc[0].tolist() == ["same", None, "diff"]
+    assert out.iloc[1].tolist() == ["a", "b", None]
+
+
+def test_first_match_lookup_priority(spark):
+    from anisearch_model_spark.operators.etl import first_match_lookup
+
+    base = spark.createDataFrame(
+        [("k1", "alt1"), ("zz", "k2"), ("zz", "qq")], "key_a string, key_b string"
+    )
+    lookup = spark.createDataFrame(
+        [("k1", "V1"), ("k2", "V2")], "lk string, val string"
+    )
+    out = first_match_lookup(
+        base, lookup, ["key_a", "key_b"], ["lk"], "val", "info"
+    ).toPandas().sort_values("key_a+key_b".replace("+", "_a") if False else "key_a")
+    got = dict(zip(out["key_a"] + "/" + out["key_b"], out["info"]))
+    assert got == {"k1/alt1": "V1", "zz/k2": "V2", "zz/qq": None}
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_feature_plumbing(spark):
+    from anisearch_model_spark.operators.multimodal import (
+        FEATURE_DIM,
+        documents_as_media,
+        extract_features,
+    )
+
+    d = _docs(spark, [(1, "payload one"), (2, "payload two")])
+    feats = extract_features(documents_as_media(d, "doc_id", "text")).toPandas()
+    assert len(feats) == 2
+    assert all(len(f) == FEATURE_DIM for f in feats["feature"])
+    assert feats["n_bytes"].tolist() == [11, 11]
+    # deterministic
+    again = extract_features(documents_as_media(d, "doc_id", "text")).toPandas()
+    assert list(feats["feature"].iloc[0]) == list(again["feature"].iloc[0])
+
+
+def test_multimodal_frame_sample(spark):
+    from anisearch_model_spark.operators.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), (0, 0, 3500, "h264"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = frame_sample(media, every_ms=1000).toPandas()
+    assert out["frame_ts_ms"].tolist() == [0, 1000, 2000]
+
+
+# ------------------------------------------------------------- conversations
+
+
+def test_search_conversations_dedups_by_conv(spark, index_dir):
+    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.multifield import search_conversations
+
+    idx = IndexStore(spark, index_dir)
+    out = search_conversations(idx, "hero battle magic", k=5).toPandas()
+    assert out["conv_id"].is_unique
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    assert (out["score"].diff().dropna() <= 1e-12).all()  # non-increasing
