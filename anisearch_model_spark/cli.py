@@ -1,0 +1,100 @@
+"""spark-submit entry points (north rule: runs via spark-submit --py-files).
+
+    # package once
+    python -c "from anisearch_model_spark.session import package_zip; print(package_zip())"
+
+    # build (resumable; re-run skips completed buckets)
+    spark-submit --py-files /tmp/anisearch_model_spark_pyfiles.zip \
+        -m anisearch_model_spark.cli build --input <parquet> --index <dir>
+
+    # query
+    spark-submit ... -m anisearch_model_spark.cli search \
+        --index <dir> --query "hero battle" --k 10
+
+    # incremental append of new transcript files
+    spark-submit ... -m anisearch_model_spark.cli append \
+        --stream-dir <dir> --index <dir>
+
+When invoked via plain ``python -m``, a local session is created with
+$SPARK_GRAFT_CPUS cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="anisearch_model_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", required=True, help="transcript parquet path")
+    b.add_argument("--index", required=True, help="index output dir")
+    b.add_argument("--num-buckets", type=int, default=64)
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--pruned", action="store_true", help="block-max WAND scorer")
+    s.add_argument("--conversations", action="store_true",
+                   help="dedup results by conv_id keeping the best turn")
+
+    a = sub.add_parser("append", help="incremental index append (streaming)")
+    a.add_argument("--stream-dir", required=True)
+    a.add_argument("--index", required=True)
+
+    g = sub.add_parser("datagen", help="write a seeded synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-turns", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from anisearch_model_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app_name=f"asms-{args.cmd}")
+    try:
+        if args.cmd == "build":
+            from anisearch_model_spark.index.store import build_index
+
+            tr = spark.read.parquet(args.input)
+            metrics = build_index(spark, tr, args.index, num_buckets=args.num_buckets)
+            print(json.dumps(metrics))
+        elif args.cmd == "search":
+            from anisearch_model_spark.query.engine import IndexStore, search
+            from anisearch_model_spark.query.multifield import search_conversations
+
+            idx = IndexStore(spark, args.index)
+            if args.conversations:
+                out = search_conversations(idx, args.query, k=args.k,
+                                           page=args.page, pruned=args.pruned)
+            else:
+                out = search(idx, args.query, k=args.k, pruned=args.pruned)
+            for row in out.collect():
+                print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "append":
+            from anisearch_model_spark.streaming.incremental import incremental_append
+
+            incremental_append(spark, args.stream_dir, args.index)
+            print(json.dumps({"status": "appended"}))
+        elif args.cmd == "datagen":
+            from anisearch_model_spark.datagen import write_transcripts
+
+            write_transcripts(spark, args.out, args.n_turns, args.seed)
+            print(json.dumps({"written": args.n_turns, "path": args.out}))
+        return 0
+    finally:
+        if existing is None:  # don't tear down a session we didn't create
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

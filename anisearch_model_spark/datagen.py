@@ -44,7 +44,11 @@ def make_vocab() -> np.ndarray:
     return np.array(base + gen)
 
 
-def gen_transcripts_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
+def gen_transcripts_pandas(
+    n_turns: int, seed: int = 42, conv_prefix: str = ""
+) -> pd.DataFrame:
+    """``conv_prefix`` namespaces conv_ids so distributed chunks never
+    collide (chunk i uses prefix f"{i:04d}-")."""
     rng = np.random.default_rng(seed)
     vocab = make_vocab()
 
@@ -62,7 +66,7 @@ def gen_transcripts_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
     n_conv = len(conv_sizes)
 
     conv_ids = np.repeat(
-        np.array([f"conv-{i:08d}" for i in range(n_conv)]), conv_sizes
+        np.array([f"conv-{conv_prefix}{i:08d}" for i in range(n_conv)]), conv_sizes
     )
     turn_idx = np.concatenate([np.arange(s, dtype="int32") for s in conv_sizes])
 
@@ -116,5 +120,38 @@ def gen_transcripts(spark, n_turns: int, seed: int = 42, partitions: int | None 
     return df
 
 
-def write_transcripts(spark, path: str, n_turns: int, seed: int = 42) -> None:
-    gen_transcripts(spark, n_turns, seed).write.mode("overwrite").parquet(path)
+def gen_transcripts_distributed(spark, n_turns: int, seed: int = 42,
+                                chunks: int = 64):
+    """Seeded corpus generated IN PARALLEL: chunk i generates n/chunks
+    turns with rng seed (seed, i) and conv-id namespace i — deterministic
+    for a given (n_turns, seed, chunks) and fast enough for multi-million
+    turn benchmark corpora (driver-side pandas generation is single-core).
+    """
+    per_chunk = n_turns // chunks
+    extra = n_turns - per_chunk * chunks
+    plan = [(i, per_chunk + (1 if i < extra else 0), seed) for i in range(chunks)]
+    plan_df = spark.createDataFrame(plan, "chunk int, n int, seed int")
+
+    def gen(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.n <= 0:
+                    continue
+                yield gen_transcripts_pandas(
+                    int(row.n), seed=int(row.seed) * 100003 + int(row.chunk),
+                    conv_prefix=f"{int(row.chunk):04d}-",
+                )
+
+    return plan_df.repartition(chunks, "chunk").mapInPandas(
+        gen, schema=TRANSCRIPT_SCHEMA
+    )
+
+
+def write_transcripts(spark, path: str, n_turns: int, seed: int = 42,
+                      distributed_threshold: int = 2_000_000) -> None:
+    gen = (
+        gen_transcripts_distributed(spark, n_turns, seed)
+        if n_turns >= distributed_threshold
+        else gen_transcripts(spark, n_turns, seed)
+    )
+    gen.write.mode("overwrite").parquet(path)

@@ -6,13 +6,27 @@ structured so ``writeTo(...).append()`` is a config-only swap):
 
     <index_dir>/doc_map/            doc_id, conv_id, turn_idx, role, text, tool, ts
     <index_dir>/postings/bucket=N/  posting blocks for doc-range bucket N
-    <index_dir>/dictionary/         term, df, cf
+    <index_dir>/dictionary/         term, df, cf   (derived from block metadata)
     <index_dir>/stats.json          n_docs, avgdl, tokenizer_version, k1, b
+    <index_dir>/manifest.json       bucket → [first_doc_id, count) ranges
     <index_dir>/checkpoints/        one row per completed bucket (parquet)
 
+Build shape (the scale story):
+    1. deterministic range-bucketing by (conv_id, turn_idx) into
+       num_buckets doc-range buckets, doc_ids by bucket offsets
+       (zipWithIndex semantics — no global sort; deterministic across
+       cluster sizes AND runs, see docmap.py);
+    2. ONE fused mapInPandas pass per partition: tokenize + encode posting
+       blocks; bucket ≡ partition; ZERO shuffle of posting data, only
+       compressed blocks cross the Python/JVM boundary;
+    3. dictionary + corpus stats derived from block metadata (df = Σ n,
+       cf = Σ tf per term; avgdl = Σ cf / N) — the corpus is tokenized
+       exactly once per build.
+
 Resumability (north rule): each doc-range bucket is the unit of restart.
-``build_index`` consults the checkpoint table, plans ONLY missing buckets,
-appends their posting partitions, and records per-bucket lineage + metrics
+``build_index`` consults the checkpoint table, plans ONLY missing buckets
+(a ``bucket IN missing`` filter over the cached bucketed corpus), appends
+their posting partitions, and records per-bucket lineage + metrics
 (postings emitted, bytes compressed, skew ratio).  The reference has no
 failure story at all — a crash in ``src/sbert.py:336-356`` loses the whole
 column; its per-column ``.npy`` granularity maps to our per-bucket
@@ -30,12 +44,10 @@ from pyspark.sql import functions as F
 
 from anisearch_model_spark.config import BM25Params, TOKENIZER_VERSION
 from anisearch_model_spark.index.build import (
-    build_dictionary,
-    build_postings,
-    bucket_span,
-    tokenize_docs,
+    dictionary_from_postings,
+    fused_tokenize_encode,
 )
-from anisearch_model_spark.index.docmap import assign_doc_ids
+from anisearch_model_spark.index.docmap import bucketed_corpus
 
 CHECKPOINT_SCHEMA = (
     "bucket int, status string, postings_emitted long, bytes_compressed long, "
@@ -45,10 +57,9 @@ CHECKPOINT_SCHEMA = (
 
 def _read_checkpoints(spark: SparkSession, index_dir: str) -> DataFrame:
     path = os.path.join(index_dir, "checkpoints")
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not os.path.isdir(path):
         return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    return spark.read.parquet(path)
 
 
 def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
@@ -57,6 +68,71 @@ def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
         r["bucket"]
         for r in cps.filter(F.col("status") == "done").select("bucket").collect()
     }
+
+
+def _write_checkpoints(spark: SparkSession, index_dir: str, buckets: list[int],
+                       lineage: str) -> None:
+    """Record per-bucket metrics from the freshly written postings."""
+    if not buckets:
+        return
+    written = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    metrics = (
+        written.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("postings_emitted"),
+            F.sum(
+                F.octet_length("doc_deltas")
+                + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes_compressed"),
+            F.countDistinct("term").alias("n_terms"),
+            (F.max("n") / F.avg("n")).alias("skew_ratio"),
+        )
+        .collect()
+    )
+    now = time.time()
+    rows = [
+        (
+            int(m["bucket"]), "done", int(m["postings_emitted"]),
+            int(m["bytes_compressed"]), int(m["n_terms"]),
+            float(m["skew_ratio"]), lineage, now,
+        )
+        for m in metrics
+    ]
+    # buckets with zero postings (all-empty docs) still checkpoint as done
+    seen = {r[0] for r in rows}
+    rows += [
+        (int(b), "done", 0, 0, 0, 1.0, lineage, now)
+        for b in buckets if b not in seen
+    ]
+    spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(
+        os.path.join(index_dir, "checkpoints")
+    )
+
+
+def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
+                      params: BM25Params, num_buckets: int) -> dict:
+    """(Re)derive dictionary + stats from the postings store."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    dict_path = os.path.join(index_dir, "dictionary")
+    dictionary_from_postings(postings).write.mode("overwrite").parquet(dict_path)
+    total_tokens = (
+        spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
+        or 0
+    )
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
+        "tokenizer_version": TOKENIZER_VERSION,
+        "k1": params.k1,
+        "b": params.b,
+        "num_buckets": num_buckets,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w", encoding="utf-8") as f:
+        json.dump(stats, f, indent=2, sort_keys=True)
+    return stats
 
 
 def build_index(
@@ -75,102 +151,82 @@ def build_index(
     params = params or BM25Params()
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.time()
+        phases[name] = round(now - since, 2)
+        return now
 
     doc_map_path = os.path.join(index_dir, "doc_map")
+    manifest_path = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(os.path.join(doc_map_path, "_SUCCESS")):
-        docs = assign_doc_ids(transcripts, num_partitions=num_buckets)
-        docs.write.mode("overwrite").parquet(doc_map_path)
-    docs = spark.read.parquet(doc_map_path)
-
-    tf = tokenize_docs(docs)
-
-    stats_path = os.path.join(index_dir, "stats.json")
-    dict_path = os.path.join(index_dir, "dictionary")
-    if not os.path.exists(stats_path):
-        # doc lengths for ALL docs (zero-token docs count toward avgdl)
-        from anisearch_model_spark.index.build import doc_lengths
-
-        dl = doc_lengths(docs)
-        row = dl.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
-        stats = {
-            "n_docs": int(row["n"]),
-            "avgdl": float(row["avgdl"] or 0.0),
-            "tokenizer_version": TOKENIZER_VERSION,
-            "k1": params.k1,
-            "b": params.b,
+        tp = time.time()
+        ranged, offsets, counts = bucketed_corpus(transcripts, num_buckets)
+        tp = _mark("bucket_assign", tp)
+        manifest = {
+            "buckets": {str(p): [offsets[p], counts[p]] for p in sorted(counts)},
             "num_buckets": num_buckets,
+            "tokenizer_version": TOKENIZER_VERSION,
         }
-        with open(stats_path, "w", encoding="utf-8") as f:
-            json.dump(stats, f, indent=2, sort_keys=True)
-        build_dictionary(tf).write.mode("overwrite").parquet(dict_path)
-    with open(stats_path, encoding="utf-8") as f:
-        stats = json.load(f)
+        # doc_map is partitioned by bucket: one file per doc-range bucket,
+        # so the fused pass reads exactly bucket-whole partitions and a
+        # resume prunes to missing bucket directories
+        ranged.write.mode("overwrite").partitionBy("bucket").parquet(doc_map_path)
+        tp = _mark("doc_map_write", tp)
+        ranged._cached_parent.unpersist()
+        with open(manifest_path, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    counts = {int(b): c for b, (_o, c) in manifest["buckets"].items()}
+    n_docs = sum(counts.values())
 
-    n_docs = stats["n_docs"]
-    span = bucket_span(n_docs, num_buckets)
-    all_buckets = sorted({b for b in range((n_docs + span - 1) // span)})
+    all_buckets = sorted(counts)
     done = completed_buckets(spark, index_dir)
     todo = [b for b in all_buckets if b not in done]
     if fail_after_buckets is not None:
         todo = todo[:fail_after_buckets]
 
-    postings_path = os.path.join(index_dir, "postings")
-    cp_rows = []
     lineage = json.dumps(
         {
             "tokenizer_version": TOKENIZER_VERSION,
             "num_buckets": num_buckets,
-            "span": span,
+            "n_docs": n_docs,
             "source": "transcripts",
         },
         sort_keys=True,
     )
-    # Build one bucket-group at a time only in the resume path; the common
-    # path builds all missing buckets in ONE distributed job.
     if todo:
-        postings = build_postings(tf, n_docs, num_buckets, buckets=todo)
-        (
-            postings.write.mode("overwrite")
-            .partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(postings_path)
-        )
-        # per-bucket metrics from the freshly written store (cheap metadata agg)
-        written = spark.read.parquet(postings_path).filter(
-            F.col("bucket").isin(todo)
-        )
-        metrics = (
-            written.groupBy("bucket")
-            .agg(
-                F.sum("n").alias("postings_emitted"),
-                F.sum(
-                    F.octet_length("doc_deltas")
-                    + F.octet_length("tfs")
-                    + F.octet_length("dls")
-                ).alias("bytes_compressed"),
-                F.countDistinct("term").alias("n_terms"),
-                (F.max("n") / F.avg("n")).alias("skew_ratio"),
+        # one partition per doc_map file (= per bucket): disable small-file
+        # packing so the fused pass gets bucket-whole partitions and full
+        # parallelism — JVM side of this stage is a light parquet decode,
+        # which keeps the cores free for the Python tokenize+encode workers
+        tp = time.time()
+        old_cost = spark.conf.get("spark.sql.files.openCostInBytes", None)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
+        try:
+            docs = spark.read.parquet(doc_map_path)
+            if len(todo) != len(all_buckets):
+                docs = docs.filter(F.col("bucket").isin(todo))
+            postings = fused_tokenize_encode(docs)
+            (
+                postings.write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(index_dir, "postings"))
             )
-            .collect()
-        )
-        now = time.time()
-        for m in metrics:
-            cp_rows.append(
-                (
-                    int(m["bucket"]),
-                    "done",
-                    int(m["postings_emitted"]),
-                    int(m["bytes_compressed"]),
-                    int(m["n_terms"]),
-                    float(m["skew_ratio"]),
-                    lineage,
-                    now,
-                )
-            )
-        if cp_rows:
-            spark.createDataFrame(cp_rows, CHECKPOINT_SCHEMA).write.mode(
-                "append"
-            ).parquet(os.path.join(index_dir, "checkpoints"))
+        finally:
+            if old_cost is not None:
+                spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+        tp = _mark("postings_build", tp)
+        _write_checkpoints(spark, index_dir, todo, lineage)
+        tp = _mark("checkpoints", tp)
+        stats = finalize_metadata(spark, index_dir, n_docs, params, num_buckets)
+        _mark("finalize", tp)
+    else:
+        with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+            stats = json.load(f)
 
     elapsed = time.time() - t0
     return {
@@ -180,4 +236,5 @@ def build_index(
         "buckets_skipped": len(done),
         "elapsed_sec": elapsed,
         "turns_per_sec": n_docs / elapsed if elapsed > 0 else 0.0,
+        "phases": phases,
     }

@@ -1,0 +1,105 @@
+"""Incremental index append via Structured Streaming (Trigger.AvailableNow).
+
+The reference's index is rebuilt from scratch per run (``src/sbert.py``);
+here newly-arrived transcript files are folded into an EXISTING index
+without touching completed buckets:
+
+  readStream over the transcript directory → foreachBatch:
+    1. assign doc_ids CONTIGUOUSLY AFTER the current corpus (stable
+       ordering within the batch, offset = n_docs so far — existing
+       doc_ids never change, so already-built posting blocks stay valid);
+    2. new docs land in NEW buckets (ids continue after the existing
+       manifest), encoded by the same fused tokenize+encode pass as the
+       batch build — appended buckets never overlap existing partitions;
+    3. dictionary + stats are re-derived from block metadata
+       (finalize_metadata), so they equal a from-scratch build exactly.
+
+The streaming checkpointLocation makes completed batches replay-safe;
+within a batch the postings write is idempotent (dynamic partition
+overwrite of that batch's bucket ids — the manifest, the commit point,
+is updated only after the write succeeds).  The doc_map append is the
+one non-idempotent step on a mid-batch crash; a repair pass would drop
+doc_map rows ≥ the manifest's doc count.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from anisearch_model_spark.config import BM25Params
+from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+from anisearch_model_spark.index.build import fused_tokenize_encode
+from anisearch_model_spark.index.docmap import bucketed_corpus
+from anisearch_model_spark.index.store import finalize_metadata
+
+
+def _append_batch(spark: SparkSession, batch_df, index_dir: str,
+                  params: BM25Params) -> None:
+    with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    n_existing = int(stats["n_docs"])
+    buckets = manifest["buckets"]
+    max_bucket = max(int(b) for b in buckets)
+    avg_span = max(1, n_existing // len(buckets))
+
+    n_new = batch_df.count()
+    if n_new == 0:
+        return
+    n_parts = max(1, math.ceil(n_new / avg_span))
+
+    ranged, offsets, counts = bucketed_corpus(batch_df, n_parts)
+    cached_parent = ranged._cached_parent
+    ranged = ranged.withColumn("doc_id", F.col("doc_id") + F.lit(n_existing))
+    ranged.drop("bucket").write.mode("append").parquet(
+        os.path.join(index_dir, "doc_map")
+    )
+
+    postings = fused_tokenize_encode(ranged, bucket_offset=max_bucket + 1)
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+    # commit: extend manifest, re-derive dictionary/stats from block metadata
+    for pid in sorted(counts):
+        buckets[str(max_bucket + 1 + pid)] = [n_existing + offsets[pid], counts[pid]]
+    manifest["buckets"] = buckets
+    with open(os.path.join(index_dir, "manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    finalize_metadata(
+        spark, index_dir, n_existing + n_new, params,
+        num_buckets=len(buckets),
+    )
+    cached_parent.unpersist()
+
+
+def incremental_append(spark: SparkSession, stream_dir: str, index_dir: str,
+                       checkpoint_dir: str | None = None,
+                       params: BM25Params | None = None) -> None:
+    """Fold all currently-available new transcript files into the index
+    (Trigger.AvailableNow: drains the backlog then stops — batch-friendly
+    streaming per the Structured Streaming guide)."""
+    params = params or BM25Params()
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _eid: _append_batch(spark, bdf, index_dir, params)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

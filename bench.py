@@ -25,7 +25,7 @@ def _noop_write(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_turns = int(os.environ.get("BENCH_TURNS", "200000"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "500000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod

@@ -1,0 +1,100 @@
+"""Batch query-set evaluation + incremental streaming append."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_batch_topk_matches_single_query(spark, index_dir):
+    from anisearch_model_spark.query.batch import batch_topk
+    from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+
+    idx = IndexStore(spark, index_dir)
+    queries = pd.DataFrame(
+        {
+            "query_id": [1, 2, 3, 4],
+            "query_text": [
+                "hero battle magic world",
+                "robot space pirate",
+                "the and of",           # stopword-only → no rows
+                "shadow light dragon",
+            ],
+        }
+    )
+    got = batch_topk(idx, queries, k=10).toPandas()
+    for qid, qtext in zip(queries["query_id"], queries["query_text"]):
+        single = topk_exhaustive(idx, qtext, 10).toPandas()
+        mine = got[got["query_id"] == qid].sort_values("rank").reset_index(drop=True)
+        assert mine["doc_id"].tolist() == single["doc_id"].tolist(), qtext
+        if len(single):
+            np.testing.assert_array_equal(
+                mine["score"].to_numpy(), single["score"].to_numpy()
+            )
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """Append half the corpus via streaming; queries must return the same
+    results as a from-scratch build over the full corpus (doc_ids align
+    because both orderings are (conv_id, turn_idx) with the stream half
+    sorting strictly after the base half)."""
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+    from anisearch_model_spark.streaming.incremental import incremental_append
+
+    full_pdf = gen_transcripts_pandas(2000, seed=21)
+    convs = sorted(full_pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    base_pdf = full_pdf[full_pdf["conv_id"] < cut]
+    extra_pdf = full_pdf[full_pdf["conv_id"] >= cut]
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d_full = str(tmp_path / "full_idx")
+    d_inc = str(tmp_path / "inc_idx")
+    stream_dir = str(tmp_path / "stream_in")
+    for d in (d_full, d_inc, stream_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    build_index(spark, spark.createDataFrame(full_pdf, schema), d_full, num_buckets=4)
+    build_index(spark, spark.createDataFrame(base_pdf, schema), d_inc, num_buckets=4)
+    spark.createDataFrame(extra_pdf, schema).write.mode("overwrite").parquet(stream_dir)
+    incremental_append(spark, stream_dir, d_inc)
+
+    full = IndexStore(spark, d_full)
+    inc = IndexStore(spark, d_inc)
+    assert inc.stats["n_docs"] == full.stats["n_docs"]
+    assert inc.stats["avgdl"] == pytest.approx(full.stats["avgdl"], abs=1e-9)
+
+    for q in ["hero battle magic", "robot space", "term0042 dragon"]:
+        a = topk_exhaustive(full, q, 10).toPandas()
+        b = topk_exhaustive(inc, q, 10).toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)
+
+    # second append run: stream drained, nothing changes (exactly-once)
+    incremental_append(spark, stream_dir, d_inc)
+    inc2 = IndexStore(spark, d_inc)
+    assert inc2.stats["n_docs"] == full.stats["n_docs"]
+
+
+def test_cli_build_and_search(spark, tmp_path, capsys):
+    from anisearch_model_spark import cli
+    from anisearch_model_spark.datagen import write_transcripts
+
+    src = str(tmp_path / "cli_in")
+    idx = str(tmp_path / "cli_idx")
+    write_transcripts(spark, src, 1000, seed=9)
+    rc = cli.main(["build", "--input", src, "--index", idx, "--num-buckets", "4"])
+    assert rc == 0
+    rc = cli.main(["search", "--index", idx, "--query", "hero battle", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json
+
+    build_line = json.loads(out[0])
+    assert build_line["n_docs"] == 1000
+    hits = [json.loads(x) for x in out[1:]]
+    assert len(hits) <= 3 and all("conv_id" in h for h in hits)

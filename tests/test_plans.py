@@ -1,0 +1,58 @@
+"""Plan-quality assertions: pushdown, pruning, join strategy, top-k plan.
+
+These encode the '.explain and iterate' loop as tests so plan regressions
+fail CI instead of silently costing a shuffle at scale."""
+
+from pyspark.sql import functions as F
+
+from anisearch_model_spark.plans.inspect import (
+    has_pushed_filter,
+    read_schema_columns,
+    takes_ordered_and_project,
+    uses_broadcast_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey")
+    assert has_pushed_filter(q, "l_shipdate")
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = read_schema_columns(q)
+    assert schemas and all(set(s) <= {"l_orderkey", "l_quantity"} for s in schemas)
+
+
+def test_small_dim_join_broadcasts(spark):
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    assert uses_broadcast_join(q)
+
+
+def test_topk_plans_as_take_ordered(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = o.orderBy(F.desc("o_totalprice")).limit(10)
+    assert takes_ordered_and_project(q)
+
+
+def test_query_engine_postings_scan_prunes_terms(spark, index_dir):
+    """The BM25 scorer's postings scan must push the term filter down."""
+    from anisearch_model_spark.query.engine import IndexStore
+
+    idx = IndexStore(spark, index_dir)
+    scan = idx.postings.filter(F.col("term").isin(["hero", "battle"]))
+    assert has_pushed_filter(scan, "term")
+
+
+def test_metadata_join_broadcasts_topk(spark, index_dir):
+    from anisearch_model_spark.query.engine import IndexStore, search
+
+    idx = IndexStore(spark, index_dir)
+    q = search(idx, "hero battle", k=5)
+    assert uses_broadcast_join(q)
