@@ -388,6 +388,24 @@ def sim_ann_lsh(spark, sf_dir):
 _BM25_QUERY_TERMS = ["spark", "join", "window"]  # tokenized, stopword-free
 
 
+def a5_corpus_stats(spark, sf_dir):
+    """A5: corpus statistics the BM25 engine derives (N, avgdl, vocab)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return dl.crossJoin(
+        tf.agg(F.countDistinct("token").alias("vocab"))
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 4).alias("avgdl"),
+        F.max("vocab").alias("vocab"),
+    )
+
+
 def bm25_topk_documents(spark, sf_dir):
     """BM25 top-10 over the documents corpus, all JVM-side (whole-stage
     codegen; the python-tokenizer engine path is covered by pytest).
@@ -470,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "a5_corpus_stats": a5_corpus_stats,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "bm25_topk_documents": bm25_topk_documents,
@@ -763,6 +782,20 @@ def oracle_sql() -> dict[str, str]:
               FROM votes GROUP BY doc_id, j)
             SELECT doc_id, sum(bit * (2 ** j)::bigint)::bigint AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "a5_corpus_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1)
+            SELECT count(*)::bigint AS n_docs,
+                   round(avg(dl), 4)::double AS avgdl,
+                   (SELECT count(DISTINCT token) FROM tf)::bigint AS vocab
+            FROM dl
         """,
         "sim_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
