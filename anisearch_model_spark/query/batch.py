@@ -45,8 +45,8 @@ def batch_topk(index: IndexStore, queries: pd.DataFrame, k: int = 10,
         return empty
     all_terms = sorted({t for _, t in qt_rows})
 
-    dict_rows = index.dictionary.filter(F.col("term").isin(all_terms)).collect()
-    idf = {r["term"]: float(bm25_idf(np.array([r["df"]]), n_docs)[0]) for r in dict_rows}
+    dfs = index.term_dfs(all_terms)
+    idf = {t: float(bm25_idf(np.array([df]), n_docs)[0]) for t, df in dfs.items()}
     qt_rows = [(q, t) for q, t in qt_rows if t in idf]
     if not qt_rows:
         return empty

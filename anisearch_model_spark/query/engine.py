@@ -44,8 +44,21 @@ class IndexStore:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._df_cache: dict[str, int] | None = None
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term → document frequency for the given terms.
+
+        The dictionary is loaded to the driver ONCE per IndexStore (it is
+        |vocab| rows — small even at corpus scale since vocab grows
+        sub-linearly) so per-query idf lookup costs no Spark job; the
+        reference reloaded its model per request (src/api.py:409)."""
+        if self._df_cache is None:
+            pdf = self.dictionary.select("term", "df").toPandas()
+            self._df_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        return {t: self._df_cache[t] for t in terms if t in self._df_cache}
 
     @property
     def postings(self) -> DataFrame:
@@ -74,9 +87,9 @@ def parse_query(query_text: str) -> list[str]:
 def _idf_map(index: IndexStore, terms: list[str]) -> dict[str, float]:
     if not terms:
         return {}
-    rows = index.dictionary.filter(F.col("term").isin(terms)).collect()
     n = index.stats["n_docs"]
-    return {r["term"]: float(bm25_idf(np.array([r["df"]]), n)[0]) for r in rows}
+    dfs = index.term_dfs(terms)
+    return {t: float(bm25_idf(np.array([df]), n)[0]) for t, df in dfs.items()}
 
 
 def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],

@@ -70,6 +70,26 @@ def main() -> None:
         _noop_write(topk_bmw(idx, q, 10))
     timings["bm25_query_x3"] = round(time.time() - t0, 3)
 
+    # batch query-set evaluation: 20 queries, ONE distributed job
+    import pandas as pd
+
+    from anisearch_model_spark.query.batch import batch_topk
+
+    words = ["hero", "battle", "magic", "world", "robot", "space", "pirate",
+             "music", "dance", "love", "war", "peace", "king", "queen",
+             "dragon", "shadow", "light", "night", "city", "future"]
+    queries = pd.DataFrame(
+        {
+            "query_id": range(20),
+            "query_text": [f"{words[i]} {words[(i + 3) % 20]} {words[(i + 7) % 20]}"
+                           for i in range(20)],
+        }
+    )
+    t0 = time.time()
+    _noop_write(batch_topk(idx, queries, k=10))
+    batch_sec = time.time() - t0
+    timings["bm25_batch_x20"] = round(batch_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -80,6 +100,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "build_turns_per_sec": round(n_turns / build_sec, 1),
+                "batch_queries_per_sec": round(20 / batch_sec, 2),
                 "n_turns": n_turns,
                 "cpus": cpus,
             }
