@@ -263,10 +263,17 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
 
 def search(index: IndexStore, query_text: str, k: int = 10,
            params: BM25Params | None = None, pruned: bool = False,
-           with_metadata: bool = True) -> DataFrame:
+           with_metadata: bool = True, page: int = 1) -> DataFrame:
     """Top-k + doc metadata join (replaces reference's df.iloc positional
-    probe, src/api.py:427-455 — explicit equi-join on doc_id instead)."""
-    top = (topk_bmw if pruned else topk_exhaustive)(index, query_text, k, params)
+    probe, src/api.py:427-455 — explicit equi-join on doc_id instead).
+
+    ``page`` keeps the reference's pagination contract (candidate pool
+    scales with the page, ranking recomputed per page; src/api.py:424)."""
+    cand_k = k * page
+    top = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k, params)
+    if page > 1:
+        lo, hi = (page - 1) * k, page * k
+        top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
     if not with_metadata:
         return top
     meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")

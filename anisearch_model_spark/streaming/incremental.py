@@ -57,7 +57,12 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
     ranged, offsets, counts = bucketed_corpus(batch_df, n_parts)
     cached_parent = ranged._cached_parent
     ranged = ranged.withColumn("doc_id", F.col("doc_id") + F.lit(n_existing))
-    ranged.drop("bucket").write.mode("append").parquet(
+    # doc_map is bucket-partitioned: appended rows MUST land in new
+    # bucket=N/ directories (offset ids), not as root-level files that
+    # partition discovery would drop
+    ranged.withColumn(
+        "bucket", F.col("bucket") + F.lit(max_bucket + 1)
+    ).write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "doc_map")
     )
 

@@ -74,6 +74,16 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path):
         assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)
 
+    # doc_map integrity: every appended row readable (bucket-partitioned
+    # append — root-level files would be dropped by partition discovery)
+    fm = full.doc_map.select("doc_id", "conv_id", "turn_idx", "text").toPandas()
+    im = inc.doc_map.select("doc_id", "conv_id", "turn_idx", "text").toPandas()
+    assert len(im) == len(fm)
+    pd.testing.assert_frame_equal(
+        fm.sort_values("doc_id").reset_index(drop=True),
+        im.sort_values("doc_id").reset_index(drop=True),
+    )
+
     # second append run: stream drained, nothing changes (exactly-once)
     incremental_append(spark, stream_dir, d_inc)
     inc2 = IndexStore(spark, d_inc)
