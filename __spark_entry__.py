@@ -418,18 +418,23 @@ def bm25_topk_documents(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
     ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
-    # single explode pass: dl and df both derive from the tf aggregate
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # df and dl as WINDOWS over the single tf pass (the naive formulation
+    # re-exploded the corpus three times — visible as 3 Generate nodes in
+    # the physical plan); only the tiny global-stats aggregate needs a
+    # second pass
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
     )
-    q = tf.filter(F.col("token").isin(_BM25_QUERY_TERMS))
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    q = tf2.filter(F.col("token").isin(_BM25_QUERY_TERMS))
     scored = (
-        q.join(F.broadcast(n_df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        q.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
         )
