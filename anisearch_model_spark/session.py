@@ -21,6 +21,17 @@ def package_zip(dest: str | None = None) -> str:
     explicitly (north rule: runs via spark-submit --py-files).
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # we are ALREADY running from a zip (spark-submit --py-files):
+        # re-zipping would walk an empty path and truncate the very
+        # archive we are imported from — return that archive instead
+        archive = pkg_dir
+        while archive and not os.path.isfile(archive):
+            parent = os.path.dirname(archive)
+            if parent == archive:
+                return pkg_dir
+            archive = parent
+        return archive
     root = os.path.dirname(pkg_dir)
     dest = dest or os.path.join("/tmp", "anisearch_model_spark_pyfiles.zip")
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
