@@ -1,0 +1,52 @@
+"""Conversation-level search parity: Spark search_conversations vs a
+pandas oracle implementing the same semantics (best turn per conversation,
+reference title-dedup analog src/api.py:427-455)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anisearch_model_spark.query.engine import IndexStore
+from anisearch_model_spark.query.multifield import search_conversations
+from anisearch_model_spark.query.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def setup(spark, index_dir):
+    idx = IndexStore(spark, index_dir)
+    meta = (
+        idx.doc_map.select("doc_id", "conv_id", "turn_idx", "role", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = OracleIndex(meta[["doc_id", "text"]])
+    return idx, oracle, meta
+
+
+def _oracle_conversations(oracle, meta, q, k):
+    scored = oracle.score(q)
+    if scored.empty:
+        return scored.assign(rank=[], conv_id=[])
+    j = scored.merge(meta[["doc_id", "conv_id", "role"]], on="doc_id")
+    # dedup by conv keeping best (score desc, role asc, doc_id asc)
+    j = j.sort_values(["score", "role", "doc_id"],
+                      ascending=[False, True, True], kind="mergesort")
+    best = j.drop_duplicates("conv_id", keep="first")
+    best = best.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    best = best.reset_index(drop=True)
+    best.insert(0, "rank", np.arange(1, len(best) + 1))
+    return best
+
+
+@pytest.mark.parametrize("q", ["hero battle magic world", "story", "robot space pirate"])
+def test_conversation_search_parity(spark, setup, q):
+    idx, oracle, meta = setup
+    got = search_conversations(idx, q, k=8).toPandas()
+    expect = _oracle_conversations(oracle, meta, q, 8)
+    assert got["conv_id"].tolist() == expect["conv_id"].tolist()
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), expect["score"].to_numpy()
+    )
