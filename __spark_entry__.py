@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from anisearch_model_spark.functions.windows import constant_partition
+
 # BM25 parameters for the SQL-expressible fulltext entries
 _K1, _B = 1.2, 0.75
 
@@ -171,7 +173,11 @@ def t2_merge_rank(spark, sf_dir):
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
-    wg = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # cands is bounded (≤100 per status); constant partition = same single
+    # partition execution but an EXPLICIT one (no unpartitioned WindowExec)
+    wg = Window.partitionBy(constant_partition("o_orderkey")).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
     return cands.select(
         F.row_number().over(wg).cast("long").alias("rank"),
         "o_orderkey",
@@ -195,15 +201,24 @@ def t3_dedup_best(spark, sf_dir):
 
 
 def t4_pagination(spark, sf_dir):
-    """T4: page 3 (ranks 21-30) of the global order ranking."""
+    """T4: page 3 (ranks 21-30) of the global order ranking.
+
+    Limit-FIRST: ``orderBy().limit(page*rpp)`` plans TakeOrderedAndProject
+    (per-partition heaps + driver merge), then the rank window runs over
+    only the ≤30 survivors — never a full-table single-partition window
+    (the round-1 scale anti-pattern: WindowExec moved ALL of orders to one
+    partition)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    ranked = o.select(
-        F.row_number().over(w).cast("long").alias("rank"),
-        "o_orderkey",
-        F.round("o_totalprice", 4).alias("price"),
+    page, rpp = 3, 10
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(page * rpp)
+    w = Window.partitionBy(constant_partition("o_orderkey")).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return ranked.filter((F.col("rank") > 20) & (F.col("rank") <= 30))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") > (page - 1) * rpp)
+        .select("rank", "o_orderkey", F.round("o_totalprice", 4).alias("price"))
+    )
 
 
 def u1_union(spark, sf_dir):
@@ -447,7 +462,9 @@ def bm25_topk_documents(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("pscore"), 4).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)

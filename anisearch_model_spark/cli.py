@@ -77,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
                 out = search_conversations(idx, args.query, k=args.k,
                                            page=args.page, pruned=args.pruned)
             else:
-                out = search(idx, args.query, k=args.k, pruned=args.pruned)
+                out = search(idx, args.query, k=args.k, pruned=args.pruned,
+                             page=args.page)
             for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "append":

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from anisearch_model_spark.functions.windows import constant_partition
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -49,7 +51,9 @@ def cosine_topk(
         F.round(dot / (dnorm * F.lit(qnorm)), 4).alias("cosine"),
     )
     top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy(constant_partition("vec_id")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "vec_id", "cosine"
     )

@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from anisearch_model_spark.config import BM25Params, MAX_QUERY_CHARS
 from anisearch_model_spark.functions.normalize import bm25_idf, bm25_term_score, tokenize_series
+from anisearch_model_spark.functions.windows import constant_partition
 
 
 class IndexStore:
@@ -148,7 +149,9 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
         )
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
     )
@@ -255,7 +258,9 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
         lambda pdf: score_bucket(pdf), schema="doc_id long, score double"
     )
     top = local_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
     )

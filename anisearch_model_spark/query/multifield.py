@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from anisearch_model_spark.config import RESULTS_PER_PAGE
+from anisearch_model_spark.functions.windows import constant_partition
 
 
 def per_field_topk(scored: DataFrame, k: int, field_col: str = "field",
@@ -49,13 +50,21 @@ def rank_and_paginate(deduped: DataFrame, page: int = 1,
                       results_per_page: int = RESULTS_PER_PAGE,
                       score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
     """T4+T5: dense global rank then page slice (reference recomputes the
-    full ranking per page, src/api.py:424 — we keep that contract; the
-    candidate pool k should be page*results_per_page upstream)."""
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    ranked = deduped.withColumn("rank", F.row_number().over(w).cast("long"))
-    lo = (page - 1) * results_per_page
+    full ranking per page, src/api.py:424 — we keep that contract).
+
+    Limit-FIRST guard: ``orderBy().limit(page*rpp)`` plans
+    TakeOrderedAndProject (per-partition heap + driver merge), so even an
+    unbounded caller can't regress this into a full-table single-partition
+    window; the rank window then runs over ≤ page*rpp rows under an
+    explicit (constant) partition."""
     hi = page * results_per_page
-    return ranked.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
+    bounded = deduped.orderBy(F.desc(score_col), F.asc(id_col)).limit(hi)
+    w = Window.partitionBy(constant_partition(id_col)).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = bounded.withColumn("rank", F.row_number().over(w).cast("long"))
+    lo = (page - 1) * results_per_page
+    return ranked.filter(F.col("rank") > lo)
 
 
 def multifield_search(scored: DataFrame, key_col: str, k: int = 10,
@@ -78,7 +87,10 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
     from anisearch_model_spark.query.engine import IndexStore, topk_bmw, topk_exhaustive
 
     assert isinstance(index, IndexStore)
-    cand_k = max(k * 5, page * k)  # over-fetch turns before conv-dedup
+    # over-fetch turns before conv-dedup; the pool scales WITH the page so
+    # deep pages still hold ≥ page*k distinct conv_ids after dedup even
+    # when hot conversations contribute many high-ranking turns
+    cand_k = page * k * 5
     top_turns = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k)
     meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")
     cands = top_turns.join(meta, "doc_id")
