@@ -158,15 +158,29 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
 
 
 def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
-             params: BM25Params | None = None) -> DataFrame:
+             params: BM25Params | None = None, decode_counter=None) -> DataFrame:
     """Block-max pruned top-k. Identical output to ``topk_exhaustive``.
 
-    Per bucket (doc-range shard): decode query-term blocks, walk the doc
-    range in block-aligned segments, skip any segment whose summed
-    block-max bound can't beat the running local k-th score, score the
-    rest exactly (ascending-term accumulation).  Local top-k per bucket
-    then a global TakeOrderedAndProject merge — mirrors the reference's
-    per-column top-k → global merge (src/api.py:316-349).
+    Per bucket (doc-range shard): compute per-block BM25 upper bounds from
+    block METADATA only (``max_tf``/``min_dl``/``first``/``last`` — no
+    decode), walk the doc range in block-aligned segments in descending
+    summed-bound order, and DECODE a posting block only when a surviving
+    segment needs it — the whole point of block-max WAND is to skip the
+    decode, not just the float accumulation (round-1 verdict #3).  Lazy
+    decodes are cached (a block spanning two segments decodes once).
+    Surviving docs are scored exactly with ascending-term accumulation.
+    Local top-k per bucket then a global TakeOrderedAndProject merge —
+    mirrors the reference's per-column top-k → global merge
+    (src/api.py:316-349).
+
+    Pruning is STRICT (``bound < θ``): a doc can score exactly θ and still
+    beat the heap minimum on the (score DESC, doc_id ASC) tie-break, so
+    equal-bound segments must be scored; the bound also gets a hair of
+    headroom so float summation-order noise can never drop it below a doc
+    score that attains it exactly.
+
+    ``decode_counter``: optional Spark accumulator incremented once per
+    block actually decoded (test/bench observability).
     """
     params = params or BM25Params()
     spark = index.spark
@@ -191,64 +205,79 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         idf_local = bidf.value
-        # decode per term (terms ascending for fixed summation order)
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        bounds = []  # (doc_lo, doc_hi, bound, term) per block
-        for row in pdf.sort_values("term", kind="mergesort").itertuples(index=False):
-            d, t, dl = decode_posting_block(
-                {"first_doc_id": row.first_doc_id,
-                 "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
-            ps = bm25_term_score(t, dl, np.full(len(t), idf_local[row.term]),
-                                 avgdl, k1, b)
-            if row.term in decoded:
-                pd_, pp = decoded[row.term]
-                decoded[row.term] = (np.concatenate([pd_, d]),
-                                     np.concatenate([pp, ps]))
-            else:
-                decoded[row.term] = (d, ps)
-            bound = bm25_term_score(
-                np.array([row.max_tf]), np.array([row.min_dl]),
-                np.array([idf_local[row.term]]), avgdl, k1, b)[0]
-            bounds.append((row.first_doc_id, row.last_doc_id, bound))
-
-        lo = min(bd[0] for bd in bounds)
-        hi = max(bd[1] for bd in bounds)
+        # term-ascending block order = the fixed float64 summation order
+        # (within a term, blocks are disjoint sorted doc ranges)
+        pdf = pdf.sort_values(["term", "first_doc_id"],
+                              kind="mergesort").reset_index(drop=True)
+        idf_arr = pdf["term"].map(idf_local).to_numpy("float64")
+        # per-block bound from metadata ONLY — nothing decoded yet
+        bound_arr = bm25_term_score(
+            pdf["max_tf"].to_numpy("int64"), pdf["min_dl"].to_numpy("int64"),
+            idf_arr, avgdl, k1, b,
+        )
+        first = pdf["first_doc_id"].to_numpy("int64")
+        last = pdf["last_doc_id"].to_numpy("int64")
+        lo = int(first.min())
         seg = 1024  # docs per pruning segment
-        n_seg = (hi - lo) // seg + 1
+        n_seg = int((int(last.max()) - lo) // seg + 1)
+        s0 = (first - lo) // seg
+        s1 = (last - lo) // seg
+        # per-segment bound = Σ over TERMS of the MAX overlapping block
+        # bound for that term (a doc receives at most one contribution per
+        # term — summing a term's blocks would overestimate by the number
+        # of its blocks in the segment and kill all pruning); inflated a
+        # hair so it stays an upper bound under float reordering
         seg_bound = np.zeros(n_seg, dtype="float64")
-        for b_lo, b_hi, bound in bounds:
-            s0 = (b_lo - lo) // seg
-            s1 = (b_hi - lo) // seg
-            seg_bound[s0 : s1 + 1] += bound
+        tcodes = pd.factorize(pdf["term"].to_numpy(), sort=True)[0]
+        for tc in range(tcodes.max() + 1):
+            sb_t = np.zeros(n_seg, dtype="float64")
+            for bi in np.nonzero(tcodes == tc)[0]:
+                a, z = int(s0[bi]), int(s1[bi]) + 1
+                np.maximum(sb_t[a:z], bound_arr[bi], out=sb_t[a:z])
+            seg_bound += sb_t
+        seg_bound = seg_bound * (1 + 1e-9) + 1e-12
+        # segment → overlapping block rows (bi ascending = term ascending)
+        seg_blocks: list[list[int]] = [[] for _ in range(n_seg)]
+        for bi in range(len(pdf)):
+            for s in range(int(s0[bi]), int(s1[bi]) + 1):
+                seg_blocks[s].append(bi)
 
-        # order terms ascending once; per-segment exact scoring
-        terms_sorted = sorted(decoded)
+        raw = pdf[["first_doc_id", "doc_deltas", "tfs", "dls"]].to_dict("records")
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        n_decoded = 0
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-        results_d, results_s = [], []
-        # process segments in descending bound order for fast threshold growth
+        # descending bound order → θ grows fast, later segments prune/break
         for si in np.argsort(-seg_bound, kind="stable"):
             theta = heap[0][0] if len(heap) >= k else -np.inf
-            if seg_bound[si] <= theta:
-                continue  # block-max prune
+            if seg_bound[si] < theta:
+                break  # every remaining segment has bound ≤ this one
             s_lo = lo + int(si) * seg
             s_hi = s_lo + seg
             local = np.zeros(seg, dtype="float64")
             hit = np.zeros(seg, dtype=bool)
-            for t in terms_sorted:
-                d, ps = decoded[t]
-                m = (d >= s_lo) & (d < s_hi)
-                if m.any():
-                    local[d[m] - s_lo] += ps[m]
-                    hit[d[m] - s_lo] = True
-            idxs = np.nonzero(hit)[0]
-            for i in idxs:
-                sc = float(local[i])
-                did = s_lo + int(i)
-                item = (sc, -did)
+            for bi in seg_blocks[si]:
+                ent = cache.get(bi)
+                if ent is None:
+                    d, t, dl = decode_posting_block(raw[bi])
+                    ps = bm25_term_score(
+                        t, dl, np.full(len(t), idf_arr[bi]), avgdl, k1, b)
+                    ent = cache[bi] = (d, ps)
+                    n_decoded += 1
+                d, ps = ent
+                a = int(np.searchsorted(d, s_lo))
+                z = int(np.searchsorted(d, s_hi))
+                if a < z:
+                    off = d[a:z] - s_lo
+                    local[off] += ps[a:z]
+                    hit[off] = True
+            for i in np.nonzero(hit)[0]:
+                item = (float(local[i]), -(s_lo + int(i)))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
+        if decode_counter is not None:
+            decode_counter.add(n_decoded)
         out = pd.DataFrame(
             {"doc_id": [-d for _, d in heap], "score": [s for s, _ in heap]}
         )
