@@ -117,7 +117,11 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
     """(Re)derive dictionary + stats from the postings store."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     dict_path = os.path.join(index_dir, "dictionary")
-    dictionary_from_postings(postings).write.mode("overwrite").parquet(dict_path)
+    # term-sorted within files: per-query `term IN (...)` lookups prune by
+    # Parquet row-group min/max stats instead of scanning the vocabulary
+    dictionary_from_postings(postings).sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(dict_path)
     total_tokens = (
         spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
         or 0

@@ -45,21 +45,37 @@ class IndexStore:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self._df_cache: dict[str, int] | None = None
+        # term → df, or None for a known-absent term (negative cache);
+        # grows with DISTINCT QUERIED terms only, never with the vocab
+        self._df_cache: dict[str, int | None] = {}
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """term → document frequency for the given terms.
 
-        The dictionary is loaded to the driver ONCE per IndexStore (it is
-        |vocab| rows — small even at corpus scale since vocab grows
-        sub-linearly) so per-query idf lookup costs no Spark job; the
-        reference reloaded its model per request (src/api.py:409)."""
-        if self._df_cache is None:
-            pdf = self.dictionary.select("term", "df").toPandas()
-            self._df_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
-        return {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        Cache misses are served by a FILTERED dictionary scan
+        (``term IN (...)`` reaches the Parquet reader as a pushed filter;
+        the dictionary is written term-sorted within files so row-group
+        min/max stats prune most of it).  Never loads the full vocabulary
+        to the driver: against 100 TB of noisy web text Heaps' law puts
+        the vocab at 10⁸–10⁹ terms — an unconditional ``toPandas()`` of it
+        (round-1 shape) is a driver OOM, while a per-query lookup collects
+        ≤ |query terms| rows.  Hot terms stay cached across queries, and
+        absent terms are negative-cached so repeated misses cost nothing.
+        """
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: self._df_cache[t] for t in terms
+                if self._df_cache.get(t) is not None}
 
     @property
     def postings(self) -> DataFrame:

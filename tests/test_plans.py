@@ -50,6 +50,33 @@ def test_query_engine_postings_scan_prunes_terms(spark, index_dir):
     assert has_pushed_filter(scan, "term")
 
 
+def test_dictionary_lookup_pushes_term_filter(spark, index_dir):
+    """term_dfs must serve cache misses from a FILTERED dictionary scan
+    (Parquet pushdown), never an unconditional full-vocab toPandas —
+    Heaps' law makes the full load a driver OOM at corpus scale."""
+    from anisearch_model_spark.query.engine import IndexStore
+
+    idx = IndexStore(spark, index_dir)
+    lookup = idx.dictionary.filter(F.col("term").isin(["hero", "battle"])).select(
+        "term", "df"
+    )
+    assert has_pushed_filter(lookup, "term")
+    # results unchanged vs a full scan, misses negative-cached
+    got = idx.term_dfs(["hero", "zzz-absent", "battle"])
+    full = {
+        r["term"]: r["df"]
+        for r in idx.dictionary.filter(
+            F.col("term").isin(["hero", "battle"])
+        ).collect()
+    }
+    assert got == full
+    assert idx._df_cache["zzz-absent"] is None
+    # repeat lookup is served from cache (no new terms enter the dict)
+    before = dict(idx._df_cache)
+    idx.term_dfs(["hero", "zzz-absent"])
+    assert idx._df_cache == before
+
+
 def test_metadata_join_broadcasts_topk(spark, index_dir):
     from anisearch_model_spark.query.engine import IndexStore, search
 
