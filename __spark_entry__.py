@@ -386,8 +386,12 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 def sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN (scale path; rows-only check — the
-    pytest suite asserts recall vs brute force)."""
+    """LSH-bucketed approximate NN.  Hyperplanes are md5-derived ±1
+    (Rademacher) coefficients, so the DuckDB oracle reproduces the exact
+    candidate set (buckets within Hamming distance 1 of the query bucket)
+    and the exact cosine re-rank.  The materialized partition-pruned
+    layout (fit/query_index) is pytest-covered; this stateless entry uses
+    the expression path with identical semantics."""
     from anisearch_model_spark.operators.similarity import RandomHyperplaneLSH
 
     e = _t(spark, sf_dir, "embeddings")
@@ -860,6 +864,44 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
-        # sim_ann_lsh, dedup tokenization helpers: rows-only (non-SQL-expressible
-        # seeded hyperplanes); pytest covers recall vs brute force.
+        "sim_ann_lsh": """
+            WITH coef AS (
+              SELECT p.p, i.i,
+                     CASE WHEN substring(md5('42:' || p.p::varchar || ':' ||
+                                              i.i::varchar), 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                          THEN 1.0 ELSE -1.0 END AS c
+              FROM range(8) p(p), range(64) i(i)),
+            dots AS (
+              SELECT e.vec_id, c.p,
+                     sum(e.embedding[c.i + 1]::double * c.c ORDER BY c.i) AS d
+              FROM embeddings e, coef c
+              GROUP BY e.vec_id, c.p),
+            buckets AS (
+              SELECT vec_id,
+                     sum(CASE WHEN d >= 0 THEN (2 ** p)::bigint ELSE 0 END)::bigint
+                       AS bucket
+              FROM dots GROUP BY vec_id),
+            qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+            cands AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e JOIN buckets b USING (vec_id), qb
+              WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            flat AS (
+              SELECT c2.vec_id, u.i,
+                     c2.embedding[u.i]::double AS dv, qe[u.i]::double AS qv
+              FROM cands c2, q,
+                   unnest(generate_series(1, len(c2.embedding))) u(i)),
+            agg AS (
+              SELECT vec_id, sum(dv * qv) AS dot,
+                     sum(dv * dv) AS nd, sum(qv * qv) AS nq
+              FROM flat GROUP BY vec_id)
+            SELECT row_number() OVER (ORDER BY round(dot / (sqrt(nd) * sqrt(nq)), 4) DESC,
+                                      vec_id ASC)::bigint AS rank,
+                   vec_id,
+                   round(dot / (sqrt(nd) * sqrt(nq)), 4)::double AS cosine
+            FROM agg
+            ORDER BY rank LIMIT 10
+        """,
     }

@@ -41,6 +41,17 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    """True if a scan prunes PARTITION directories on ``fragment`` (e.g. a
+    partition column name) — pruning happens at planning, before any file
+    is opened."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and fragment in line and "[]" not in line:
+            return True
+    return False
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 

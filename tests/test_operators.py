@@ -113,6 +113,44 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert 3 in approx  # the query vector itself must be found
 
 
+def test_lsh_materialized_index_prunes_partitions(spark, tmp_path):
+    """fit() persists (id, bucket, embedding) partitionBy(bucket);
+    query_index() must (a) return exactly what the expression path
+    returns and (b) prune at the partition level — the bucket IN filter
+    shows up as a PartitionFilter, so non-candidate buckets are never
+    even opened (the round-1 gap: query() re-hashed the whole table)."""
+    from anisearch_model_spark.operators.similarity import RandomHyperplaneLSH
+    from anisearch_model_spark.plans.inspect import has_partition_filter
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    lsh = RandomHyperplaneLSH(dim=16, n_planes=6, seed=42)
+    path = str(tmp_path / "lsh_idx")
+    lsh.fit(df, path)
+    q = list(vecs[11].astype("float64"))
+    expr = lsh.query(df, q, k=5).toPandas()
+    idxd = lsh.query_index(spark, path, q, k=5)
+    assert has_partition_filter(idxd, "bucket")
+    got = idxd.toPandas()
+    assert got["vec_id"].tolist() == expr["vec_id"].tolist()
+    np.testing.assert_array_equal(got["cosine"].to_numpy(), expr["cosine"].to_numpy())
+    # layout really is one directory per bucket
+    import os
+    assert any(e.startswith("bucket=") for e in os.listdir(path))
+    # candidate read touches only qb + 6 neighbor buckets
+    qb = lsh.query_bucket(q)
+    cand_buckets = {qb} | {qb ^ (1 << p) for p in range(6)}
+    scanned = spark.read.parquet(path).filter(
+        F.col("bucket").isin(list(cand_buckets))
+    )
+    assert scanned.count() == len(
+        lsh.transform(df).filter(F.col("bucket").isin(list(cand_buckets))).collect()
+    )
+
+
 # ---------------------------------------------------------------- multifield
 
 
