@@ -253,6 +253,49 @@ def multifield_entity_topk(spark, sf_dir):
     )
 
 
+def etl_merge_pipeline(spark, sf_dir):
+    """The reference's composed corpus-prep ETL (merge_datasets.py:353-689)
+    end-to-end via operators/corpus_prep.py: three overlapping-key document
+    'datasets' → full-outer fold → phrase/numbered-list blanking → title
+    coalesce → broadcast first-match lookup → cross-column dedup →
+    any-nonempty filter."""
+    from anisearch_model_spark.operators.corpus_prep import prepare_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    p = _t(spark, sf_dir, "part")
+    ds1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("key"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        ).alias("title_a"),
+        F.col("text").alias("syn_a"),
+    )
+    ds2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("key"),
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("title_b"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("no synopsis yet")).otherwise(
+            F.col("text")
+        ).alias("syn_b"),
+    )
+    ds3 = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("key"), F.col("text").alias("syn_c")
+    )
+    out = prepare_corpus(
+        [ds1, ds2, ds3],
+        key="key",
+        title_cols=["title_a", "title_b"],
+        text_cols=["syn_a", "syn_b", "syn_c"],
+        banned_phrases=["no synopsis"],
+        numbered_list_cols=["syn_a"],
+        lookup=p.select("p_partkey", "p_brand"),
+        lookup_base_keys=["key"],
+        lookup_keys=["p_partkey"],
+        lookup_value="p_brand",
+        lookup_out="brand_info",
+    )
+    return out.select("key", "title", "syn_a", "syn_b", "syn_c", "brand_info")
+
+
 # ---------------------------------------------------------------------------
 # events: sessionize + time-window aggregation
 # ---------------------------------------------------------------------------
@@ -503,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_pagination": t4_pagination,
         "u1_union": u1_union,
         "multifield_entity_topk": multifield_entity_topk,
+        "etl_merge_pipeline": etl_merge_pipeline,
         "events_sessionize": events_sessionize,
         "events_window_agg": events_window_agg,
         "tx_token_count": tx_token_count,
@@ -649,6 +693,77 @@ def oracle_sql() -> dict[str, str]:
                      entity, item_id, field, round(score,4)::double AS score
               FROM best)
             WHERE rank <= 10
+        """,
+        "etl_merge_pipeline": """
+            WITH ds1 AS (
+              SELECT doc_id AS key,
+                     CASE WHEN doc_id % 4 = 0 THEN ''
+                          ELSE 'd' || doc_id::varchar END AS title_a,
+                     text AS syn_a
+              FROM documents WHERE doc_id % 2 = 0),
+            ds2 AS (
+              SELECT doc_id AS key, 'n' || doc_id::varchar AS title_b,
+                     CASE WHEN doc_id % 7 = 0 THEN 'no synopsis yet'
+                          ELSE text END AS syn_b
+              FROM documents WHERE doc_id % 3 = 0),
+            ds3 AS (SELECT doc_id AS key, text AS syn_c
+                    FROM documents WHERE doc_id % 5 = 0),
+            m1 AS (
+              SELECT coalesce(ds1.key, ds2.key) AS key,
+                     title_a, syn_a, title_b, syn_b
+              FROM ds1 FULL JOIN ds2 ON ds1.key = ds2.key),
+            m2 AS (
+              SELECT coalesce(m1.key, ds3.key) AS key,
+                     title_a, syn_a, title_b, syn_b, syn_c
+              FROM m1 FULL JOIN ds3 ON m1.key = ds3.key),
+            -- F12 phrase blanking on every text col, then F13 on syn_a
+            f12 AS (
+              SELECT key, title_a, title_b,
+                     CASE WHEN coalesce(contains(syn_a, 'no synopsis'), false)
+                          THEN '' ELSE syn_a END AS syn_a,
+                     CASE WHEN coalesce(contains(syn_b, 'no synopsis'), false)
+                          THEN '' ELSE syn_b END AS syn_b,
+                     CASE WHEN coalesce(contains(syn_c, 'no synopsis'), false)
+                          THEN '' ELSE syn_c END AS syn_c
+              FROM m2),
+            f13 AS (
+              SELECT key, title_a, title_b,
+                     CASE WHEN coalesce(regexp_matches(syn_a,
+                            '^.*?(\\d+[-\\d]*[.)]\\s+.+?)(\\n|$)'), false)
+                          THEN '' ELSE syn_a END AS syn_a,
+                     syn_b, syn_c
+              FROM f12),
+            -- F14 priority title coalesce
+            f14 AS (
+              SELECT key, syn_a, syn_b, syn_c,
+                     coalesce(nullif(nullif(title_a, ''), 'unknown title'),
+                              nullif(nullif(title_b, ''), 'unknown title'))
+                       AS title
+              FROM f13),
+            -- J4 first-match lookup (dedup keeps min value per key)
+            lkp AS (SELECT p_partkey, min(p_brand) AS _bj FROM part GROUP BY 1),
+            j4 AS (
+              SELECT f14.*, lkp._bj AS brand_info
+              FROM f14 LEFT JOIN lkp ON f14.key = lkp.p_partkey),
+            -- A2 cross-column dedup, SEQUENTIAL (syn_c sees updated syn_b)
+            a2b AS (
+              SELECT key, title, syn_a,
+                     CASE WHEN coalesce(syn_b = syn_a, false) THEN NULL
+                          ELSE syn_b END AS syn_b,
+                     syn_c, brand_info
+              FROM j4),
+            a2c AS (
+              SELECT key, title, syn_a, syn_b,
+                     CASE WHEN coalesce(syn_c = syn_a, false)
+                            OR coalesce(syn_c = syn_b, false) THEN NULL
+                          ELSE syn_c END AS syn_c,
+                     brand_info
+              FROM a2b)
+            SELECT key, title, syn_a, syn_b, syn_c, brand_info
+            FROM a2c
+            WHERE length(trim(coalesce(syn_a, ''))) > 0
+               OR length(trim(coalesce(syn_b, ''))) > 0
+               OR length(trim(coalesce(syn_c, ''))) > 0
         """,
         "events_sessionize": """
             SELECT user_id, sum(new_sess)::bigint AS n_sessions FROM (

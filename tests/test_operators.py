@@ -151,6 +151,48 @@ def test_lsh_materialized_index_prunes_partitions(spark, tmp_path):
     )
 
 
+def test_prepare_corpus_composition(spark):
+    """Composed merge pipeline (merge_datasets.py:353-689 shape) against a
+    hand-computed expectation: outer-join fold, phrase blanking, priority
+    title coalesce, lookup join, cross-column dedup, any-nonempty filter."""
+    from anisearch_model_spark.operators.corpus_prep import prepare_corpus
+    from anisearch_model_spark.plans.inspect import uses_broadcast_join
+
+    s1 = spark.createDataFrame(
+        [(1, "", "same text"), (2, "A2", "alpha"), (3, "unknown title", None),
+         (4, "A4", "")],
+        "key long, title_a string, syn_a string",
+    )
+    s2 = spark.createDataFrame(
+        [(1, "B1", "same text"), (2, "B2", "beta"), (5, "B5", "gamma"),
+         (6, "B6", "contains no data here")],
+        "key long, title_b string, syn_b string",
+    )
+    lookup = spark.createDataFrame([(1, "L1"), (5, "L5")], "lk long, v string")
+    out = prepare_corpus(
+        [s1, s2], key="key",
+        title_cols=["title_a", "title_b"],
+        text_cols=["syn_a", "syn_b"],
+        banned_phrases=["no data"],
+        lookup=lookup, lookup_base_keys=["key"], lookup_keys=["lk"],
+        lookup_value="v", lookup_out="brand",
+    )
+    assert uses_broadcast_join(out)  # the J4 probe must broadcast
+    got = {r["key"]: r.asDict() for r in out.collect()}
+    # key 3: all-blank text → dropped; key 4: '' + null → dropped;
+    # key 6: banned phrase blanked its only text → dropped
+    assert sorted(got) == [1, 2, 5]
+    assert got[1]["title"] == "B1"          # '' falls through to title_b
+    assert got[1]["syn_b"] is None          # cross-column dup nulled
+    assert got[1]["brand"] == "L1"
+    assert got[2]["title"] == "A2"
+    assert got[2]["syn_b"] == "beta"
+    assert got[2]["brand"] is None
+    assert got[5]["title"] == "B5"
+    assert got[5]["syn_a"] is None and got[5]["syn_b"] == "gamma"
+    assert got[5]["brand"] == "L5"
+
+
 # ---------------------------------------------------------------- multifield
 
 
