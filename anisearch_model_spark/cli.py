@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True, help="transcript parquet path")
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--num-buckets", type=int, default=64)
+    b.add_argument("--field-col", default=None,
+                   help="build field-qualified postings (e.g. role)")
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index", required=True)
@@ -41,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=1)
     s.add_argument("--pruned", action="store_true", help="block-max WAND scorer")
+    s.add_argument("--role", default=None,
+                   help="scope to one field of a field-qualified index")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
 
@@ -66,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
             from anisearch_model_spark.index.store import build_index
 
             tr = spark.read.parquet(args.input)
-            metrics = build_index(spark, tr, args.index, num_buckets=args.num_buckets)
+            metrics = build_index(spark, tr, args.index, num_buckets=args.num_buckets,
+                                  field_col=args.field_col)
             print(json.dumps(metrics))
         elif args.cmd == "search":
             from anisearch_model_spark.query.engine import IndexStore, search
@@ -78,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
                                            page=args.page, pruned=args.pruned)
             else:
                 out = search(idx, args.query, k=args.k, pruned=args.pruned,
-                             page=args.page)
+                             page=args.page, role=args.role)
             for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "append":

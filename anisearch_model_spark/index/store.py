@@ -5,9 +5,11 @@ runtime jar is available offline in this sandbox; the write paths are
 structured so ``writeTo(...).append()`` is a config-only swap):
 
     <index_dir>/doc_map/            doc_id, conv_id, turn_idx, role, text, tool, ts
-    <index_dir>/postings/bucket=N/  posting blocks for doc-range bucket N
-    <index_dir>/dictionary/         term, df, cf   (derived from block metadata)
-    <index_dir>/stats.json          n_docs, avgdl, tokenizer_version, k1, b
+    <index_dir>/postings/bucket=N/field=F/  posting blocks for doc-range
+                                    bucket N, field F ('*' when unqualified)
+    <index_dir>/dictionary/         term, field, df, cf  (from block metadata)
+    <index_dir>/stats.json          n_docs, avgdl, tokenizer_version, k1, b,
+                                    field_col + per-field {n_docs, avgdl}
     <index_dir>/manifest.json       bucket → [first_doc_id, count) ranges
     <index_dir>/checkpoints/        one row per completed bucket (parquet)
 
@@ -113,8 +115,14 @@ def _write_checkpoints(spark: SparkSession, index_dir: str, buckets: list[int],
 
 
 def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
-                      params: BM25Params, num_buckets: int) -> dict:
-    """(Re)derive dictionary + stats from the postings store."""
+                      params: BM25Params, num_buckets: int,
+                      field_col: str | None = None) -> dict:
+    """(Re)derive dictionary + stats from the postings store.
+
+    With ``field_col``, stats.json additionally records per-field
+    {n_docs, avgdl} so field-scoped queries score against the field's own
+    sub-corpus (the reference scores each text column independently,
+    src/api.py:316-349)."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     dict_path = os.path.join(index_dir, "dictionary")
     # term-sorted within files: per-query `term IN (...)` lookups prune by
@@ -126,6 +134,25 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
         or 0
     )
+    fields: dict[str, dict] = {}
+    if field_col:
+        doc_counts = {
+            r[field_col]: r["n"]
+            for r in spark.read.parquet(os.path.join(index_dir, "doc_map"))
+            .groupBy(field_col).agg(F.count("*").alias("n")).collect()
+        }
+        tok_counts = {
+            r["field"]: r["s"]
+            for r in spark.read.parquet(dict_path)
+            .groupBy("field").agg(F.sum("cf").alias("s")).collect()
+        }
+        fields = {
+            str(f): {
+                "n_docs": int(nd),
+                "avgdl": (float(tok_counts.get(f, 0)) / nd) if nd else 0.0,
+            }
+            for f, nd in doc_counts.items() if f is not None
+        }
     stats = {
         "n_docs": int(n_docs),
         "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
@@ -133,6 +160,8 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         "k1": params.k1,
         "b": params.b,
         "num_buckets": num_buckets,
+        "field_col": field_col,
+        "fields": fields,
     }
     with open(os.path.join(index_dir, "stats.json"), "w", encoding="utf-8") as f:
         json.dump(stats, f, indent=2, sort_keys=True)
@@ -146,11 +175,15 @@ def build_index(
     num_buckets: int = 32,
     params: BM25Params | None = None,
     fail_after_buckets: int | None = None,
+    field_col: str | None = None,
 ) -> dict:
     """Full (or resumed) index build.  Returns build metrics dict.
 
     ``fail_after_buckets`` is a test hook: stop after writing that many
     buckets (simulates a mid-build crash for the resume test).
+    ``field_col`` (e.g. "role") builds field-qualified postings: blocks
+    per (bucket, field), per-field stats — field-scoped queries prune at
+    the scan; unscoped results are unchanged.
     """
     params = params or BM25Params()
     os.makedirs(index_dir, exist_ok=True)
@@ -198,6 +231,7 @@ def build_index(
             "num_buckets": num_buckets,
             "n_docs": n_docs,
             "source": "transcripts",
+            "field_col": field_col,
         },
         sort_keys=True,
     )
@@ -213,10 +247,10 @@ def build_index(
             docs = spark.read.parquet(doc_map_path)
             if len(todo) != len(all_buckets):
                 docs = docs.filter(F.col("bucket").isin(todo))
-            postings = fused_tokenize_encode(docs)
+            postings = fused_tokenize_encode(docs, field_col=field_col)
             (
                 postings.write.mode("overwrite")
-                .partitionBy("bucket")
+                .partitionBy("bucket", "field")
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(os.path.join(index_dir, "postings"))
             )
@@ -226,7 +260,8 @@ def build_index(
         tp = _mark("postings_build", tp)
         _write_checkpoints(spark, index_dir, todo, lineage)
         tp = _mark("checkpoints", tp)
-        stats = finalize_metadata(spark, index_dir, n_docs, params, num_buckets)
+        stats = finalize_metadata(spark, index_dir, n_docs, params, num_buckets,
+                                  field_col=field_col)
         _mark("finalize", tp)
     else:
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:

@@ -45,14 +45,17 @@ class IndexStore:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        # term → df, or None for a known-absent term (negative cache);
-        # grows with DISTINCT QUERIED terms only, never with the vocab
-        self._df_cache: dict[str, int | None] = {}
+        # (field, term) → df, or None for a known-absent term (negative
+        # cache); grows with DISTINCT QUERIED terms only, never the vocab
+        self._df_cache: dict[tuple[str | None, str], int | None] = {}
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
 
-    def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """term → document frequency for the given terms.
+    def term_dfs(self, terms: list[str],
+                 field: str | None = None) -> dict[str, int]:
+        """term → document frequency for the given terms (optionally
+        within one field — the dictionary is per (term, field); unscoped
+        df is the sum over fields, since fields partition the doc set).
 
         Cache misses are served by a FILTERED dictionary scan
         (``term IN (...)`` reaches the Parquet reader as a pushed filter;
@@ -64,18 +67,29 @@ class IndexStore:
         ≤ |query terms| rows.  Hot terms stay cached across queries, and
         absent terms are negative-cached so repeated misses cost nothing.
         """
-        missing = [t for t in terms if t not in self._df_cache]
+        missing = [t for t in terms if (field, t) not in self._df_cache]
         if missing:
-            rows = (
-                self.dictionary.filter(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            )
+            d = self.dictionary.filter(F.col("term").isin(missing))
+            if field is not None:
+                d = d.filter(F.col("field") == field)
+            rows = d.groupBy("term").agg(F.sum("df").alias("df")).collect()
             found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
-                self._df_cache[t] = found.get(t)
-        return {t: self._df_cache[t] for t in terms
-                if self._df_cache.get(t) is not None}
+                self._df_cache[(field, t)] = found.get(t)
+        return {t: self._df_cache[(field, t)] for t in terms
+                if self._df_cache.get((field, t)) is not None}
+
+    def field_stats(self, field: str | None) -> tuple[int, float]:
+        """(n_docs, avgdl) of the whole corpus or one field's sub-corpus."""
+        if field is None:
+            return int(self.stats["n_docs"]), float(self.stats["avgdl"])
+        fs = self.stats.get("fields") or {}
+        if field not in fs:
+            raise ValueError(
+                f"index at {self.index_dir} is not field-qualified for "
+                f"{field!r} (available: {sorted(fs)})"
+            )
+        return int(fs[field]["n_docs"]), float(fs[field]["avgdl"])
 
     @property
     def postings(self) -> DataFrame:
@@ -101,23 +115,27 @@ def parse_query(query_text: str) -> list[str]:
     return sorted(set(toks))
 
 
-def _idf_map(index: IndexStore, terms: list[str]) -> dict[str, float]:
+def _idf_map(index: IndexStore, terms: list[str],
+             field: str | None = None) -> dict[str, float]:
     if not terms:
         return {}
-    n = index.stats["n_docs"]
-    dfs = index.term_dfs(terms)
+    n, _ = index.field_stats(field)
+    dfs = index.term_dfs(terms, field=field)
     return {t: float(bm25_idf(np.array([df]), n)[0]) for t, df in dfs.items()}
 
 
 def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],
-              params: BM25Params) -> DataFrame:
+              params: BM25Params, field: str | None = None) -> DataFrame:
     """Decode matching posting blocks → (doc_id, term, pscore) DataFrame."""
     spark = index.spark
-    avgdl = float(index.stats["avgdl"])
+    _, avgdl = index.field_stats(field)
     k1, b = params.k1, params.b
     bidf = spark.sparkContext.broadcast(idf)
 
     blocks = index.postings.filter(F.col("term").isin(list(idf.keys())))
+    if field is not None:
+        # field is a partition column: directory-level pruning at the scan
+        blocks = blocks.filter(F.col("field") == field)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anisearch_model_spark.index.codec import decode_posting_block
@@ -142,17 +160,21 @@ def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],
 
 
 def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
-                    params: BM25Params | None = None) -> DataFrame:
-    """Exact top-k, bit-identical to the oracle: (rank, doc_id, score)."""
+                    params: BM25Params | None = None,
+                    field: str | None = None) -> DataFrame:
+    """Exact top-k, bit-identical to the oracle: (rank, doc_id, score).
+
+    ``field`` restricts scoring to one field's sub-corpus (per-field
+    df/n/avgdl; the postings scan prunes on the field partition)."""
     params = params or BM25Params()
     spark = index.spark
     terms = parse_query(query_text)
-    idf = _idf_map(index, terms)
+    idf = _idf_map(index, terms, field=field)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
 
-    partials = _partials(index, terms, idf, params)
+    partials = _partials(index, terms, idf, params, field=field)
     # fold per doc in ascending term order — fixed float64 summation order
     scored = (
         partials.groupBy("doc_id")
@@ -174,7 +196,8 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
 
 
 def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
-             params: BM25Params | None = None, decode_counter=None) -> DataFrame:
+             params: BM25Params | None = None, decode_counter=None,
+             field: str | None = None) -> DataFrame:
     """Block-max pruned top-k. Identical output to ``topk_exhaustive``.
 
     Per bucket (doc-range shard): compute per-block BM25 upper bounds from
@@ -201,15 +224,18 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     params = params or BM25Params()
     spark = index.spark
     terms = parse_query(query_text)
-    idf = _idf_map(index, terms)
+    idf = _idf_map(index, terms, field=field)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
-    avgdl = float(index.stats["avgdl"])
+    _, avgdl = index.field_stats(field)
     k1, b = params.k1, params.b
     bidf = spark.sparkContext.broadcast(idf)
 
-    blocks = index.postings.filter(F.col("term").isin(list(idf.keys()))).select(
+    blocks = index.postings.filter(F.col("term").isin(list(idf.keys())))
+    if field is not None:
+        blocks = blocks.filter(F.col("field") == field)
+    blocks = blocks.select(
         "bucket", "term", "first_doc_id", "last_doc_id", "max_tf", "min_dl",
         "doc_deltas", "tfs", "dls",
     )
@@ -313,14 +339,19 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
 
 def search(index: IndexStore, query_text: str, k: int = 10,
            params: BM25Params | None = None, pruned: bool = False,
-           with_metadata: bool = True, page: int = 1) -> DataFrame:
+           with_metadata: bool = True, page: int = 1,
+           role: str | None = None) -> DataFrame:
     """Top-k + doc metadata join (replaces reference's df.iloc positional
     probe, src/api.py:427-455 — explicit equi-join on doc_id instead).
 
     ``page`` keeps the reference's pagination contract (candidate pool
-    scales with the page, ranking recomputed per page; src/api.py:424)."""
+    scales with the page, ranking recomputed per page; src/api.py:424).
+    ``role`` scopes the query to one field of a field-qualified index
+    (reference single-column search analog, src/api.py:416-421) — the
+    postings scan prunes to that field's partitions."""
     cand_k = k * page
-    top = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k, params)
+    top = (topk_bmw if pruned else topk_exhaustive)(
+        index, query_text, cand_k, params, field=role)
     if page > 1:
         lo, hi = (page - 1) * k, page * k
         top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))

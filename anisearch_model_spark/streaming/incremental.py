@@ -66,10 +66,12 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
         os.path.join(index_dir, "doc_map")
     )
 
-    postings = fused_tokenize_encode(ranged, bucket_offset=max_bucket + 1)
+    field_col = stats.get("field_col")
+    postings = fused_tokenize_encode(ranged, bucket_offset=max_bucket + 1,
+                                     field_col=field_col)
     (
         postings.write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "field")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(os.path.join(index_dir, "postings"))
     )
@@ -82,7 +84,7 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
         json.dump(manifest, f, indent=2, sort_keys=True)
     finalize_metadata(
         spark, index_dir, n_existing + n_new, params,
-        num_buckets=len(buckets),
+        num_buckets=len(buckets), field_col=field_col,
     )
     cached_parent.unpersist()
 

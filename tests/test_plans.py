@@ -70,7 +70,7 @@ def test_dictionary_lookup_pushes_term_filter(spark, index_dir):
         ).collect()
     }
     assert got == full
-    assert idx._df_cache["zzz-absent"] is None
+    assert idx._df_cache[(None, "zzz-absent")] is None
     # repeat lookup is served from cache (no new terms enter the dict)
     before = dict(idx._df_cache)
     idx.term_dfs(["hero", "zzz-absent"])
