@@ -63,16 +63,17 @@ _POSTING_COLS = [
 DICTIONARY_SCHEMA = "term string, field string, df long, cf long"
 
 
-def _build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+def _build_bucket(pdf: pd.DataFrame, codec: str = "varint") -> pd.DataFrame:
     """One (bucket, field) group of tf rows → encoded posting-block rows
     (vectorized whole-bucket encode; see codec.encode_bucket_frame)."""
     from anisearch_model_spark.index.codec import encode_bucket_frame
 
-    return encode_bucket_frame(pdf, POSTING_BLOCK_SIZE)
+    return encode_bucket_frame(pdf, POSTING_BLOCK_SIZE, codec=codec)
 
 
 def fused_tokenize_encode(docs_bucketed: DataFrame, bucket_offset: int = 0,
-                          field_col: str | None = None) -> DataFrame:
+                          field_col: str | None = None,
+                          codec: str = "varint") -> DataFrame:
     """THE scale path: tokenize + encode each doc-range partition in ONE
     ``mapInPandas`` pass over the bucketed corpus (buckets are whole
     within a partition; + offset for appends).
@@ -115,7 +116,7 @@ def fused_tokenize_encode(docs_bucketed: DataFrame, bucket_offset: int = 0,
         all_tf["bucket"] = all_tf["bucket"].astype("int64") + bucket_offset
         outs = []
         for (_b, fld), grp in all_tf.groupby(["bucket", "field"], sort=True):
-            enc = _build_bucket(grp)
+            enc = _build_bucket(grp, codec=codec)
             enc["field"] = fld
             outs.append(enc[_POSTING_COLS])
         yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(

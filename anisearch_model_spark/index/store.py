@@ -116,7 +116,8 @@ def _write_checkpoints(spark: SparkSession, index_dir: str, buckets: list[int],
 
 def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
                       params: BM25Params, num_buckets: int,
-                      field_col: str | None = None) -> dict:
+                      field_col: str | None = None,
+                      codec: str = "varint") -> dict:
     """(Re)derive dictionary + stats from the postings store.
 
     With ``field_col``, stats.json additionally records per-field
@@ -162,6 +163,7 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         "num_buckets": num_buckets,
         "field_col": field_col,
         "fields": fields,
+        "codec": codec,
     }
     with open(os.path.join(index_dir, "stats.json"), "w", encoding="utf-8") as f:
         json.dump(stats, f, indent=2, sort_keys=True)
@@ -176,6 +178,7 @@ def build_index(
     params: BM25Params | None = None,
     fail_after_buckets: int | None = None,
     field_col: str | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Full (or resumed) index build.  Returns build metrics dict.
 
@@ -184,6 +187,8 @@ def build_index(
     ``field_col`` (e.g. "role") builds field-qualified postings: blocks
     per (bucket, field), per-field stats — field-scoped queries prune at
     the scan; unscoped results are unchanged.
+    ``codec``: posting-buffer value codec ("varint" | "pfor"); buffers are
+    flag-prefixed, so mixed-codec indexes decode fine.
     """
     params = params or BM25Params()
     os.makedirs(index_dir, exist_ok=True)
@@ -247,7 +252,8 @@ def build_index(
             docs = spark.read.parquet(doc_map_path)
             if len(todo) != len(all_buckets):
                 docs = docs.filter(F.col("bucket").isin(todo))
-            postings = fused_tokenize_encode(docs, field_col=field_col)
+            postings = fused_tokenize_encode(docs, field_col=field_col,
+                                             codec=codec)
             (
                 postings.write.mode("overwrite")
                 .partitionBy("bucket", "field")
@@ -261,7 +267,7 @@ def build_index(
         _write_checkpoints(spark, index_dir, todo, lineage)
         tp = _mark("checkpoints", tp)
         stats = finalize_metadata(spark, index_dir, n_docs, params, num_buckets,
-                                  field_col=field_col)
+                                  field_col=field_col, codec=codec)
         _mark("finalize", tp)
     else:
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:

@@ -67,8 +67,9 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
     )
 
     field_col = stats.get("field_col")
+    codec = stats.get("codec", "varint")
     postings = fused_tokenize_encode(ranged, bucket_offset=max_bucket + 1,
-                                     field_col=field_col)
+                                     field_col=field_col, codec=codec)
     (
         postings.write.mode("overwrite")
         .partitionBy("bucket", "field")
@@ -84,7 +85,7 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
         json.dump(manifest, f, indent=2, sort_keys=True)
     finalize_metadata(
         spark, index_dir, n_existing + n_new, params,
-        num_buckets=len(buckets), field_col=field_col,
+        num_buckets=len(buckets), field_col=field_col, codec=codec,
     )
     cached_parent.unpersist()
 
