@@ -92,7 +92,13 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
     # when hot conversations contribute many high-ranking turns
     cand_k = page * k * 5
     top_turns = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k)
-    meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")
+    # blank-turn skip BEFORE dedup (reference src/api.py:427-455 drops
+    # blank-synopsis rows before title dedup).  BM25 can't surface a
+    # zero-token doc today, but the guard keeps the dedup contract honest
+    # for any scorer variant that could (metadata boosts, embeddings)
+    meta = index.doc_map.filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select("doc_id", "conv_id", "turn_idx", "role")
     cands = top_turns.join(meta, "doc_id")
     best = dedup_best(cands, "conv_id", score_col="score", field_col="role",
                       id_col="doc_id")

@@ -15,11 +15,16 @@ without touching completed buckets:
        (finalize_metadata), so they equal a from-scratch build exactly.
 
 The streaming checkpointLocation makes completed batches replay-safe;
-within a batch the postings write is idempotent (dynamic partition
-overwrite of that batch's bucket ids — the manifest, the commit point,
-is updated only after the write succeeds).  The doc_map append is the
-one non-idempotent step on a mid-batch crash; a repair pass would drop
-doc_map rows ≥ the manifest's doc count.
+within a batch every write is idempotent under replay:
+
+  * postings: dynamic partition overwrite of that batch's bucket ids —
+    replay recomputes the SAME ids (the manifest, the commit point, only
+    advances after success) and overwrites in place;
+  * doc_map: a REPAIR pass at batch start deletes bucket directories
+    beyond the manifest's max bucket — exactly the orphans a mid-batch
+    crash leaves (append mode alone would duplicate them on replay).
+    On a table format with snapshots (Iceberg) this is a rollback; on
+    plain parquet it is a directory delete.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +44,24 @@ from anisearch_model_spark.index.docmap import bucketed_corpus
 from anisearch_model_spark.index.store import finalize_metadata
 
 
+def _repair_orphan_doc_map(index_dir: str, max_bucket: int) -> int:
+    """Delete doc_map bucket dirs beyond the manifest's max bucket — the
+    orphans of a crash between the doc_map append and the manifest commit.
+    Idempotent; returns the number of directories removed."""
+    doc_map_dir = os.path.join(index_dir, "doc_map")
+    removed = 0
+    for entry in os.listdir(doc_map_dir):
+        if entry.startswith("bucket="):
+            try:
+                b = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b > max_bucket:
+                shutil.rmtree(os.path.join(doc_map_dir, entry))
+                removed += 1
+    return removed
+
+
 def _append_batch(spark: SparkSession, batch_df, index_dir: str,
                   params: BM25Params) -> None:
     with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
@@ -47,6 +71,7 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
     n_existing = int(stats["n_docs"])
     buckets = manifest["buckets"]
     max_bucket = max(int(b) for b in buckets)
+    _repair_orphan_doc_map(index_dir, max_bucket)
     avg_span = max(1, n_existing // len(buckets))
 
     n_new = batch_df.count()

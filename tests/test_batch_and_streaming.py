@@ -108,3 +108,51 @@ def test_cli_build_and_search(spark, tmp_path, capsys):
     assert build_line["n_docs"] == 1000
     hits = [json.loads(x) for x in out[1:]]
     assert len(hits) <= 3 and all("conv_id" in h for h in hits)
+
+
+def test_append_replay_after_midbatch_crash_is_idempotent(spark, tmp_path):
+    """A crash between the doc_map append and the manifest commit leaves
+    orphan doc_map bucket dirs; the repair pass at batch start must delete
+    them so the foreachBatch REPLAY converges to exactly the clean state
+    (no duplicate doc_ids fanning out in search()'s metadata join)."""
+    import json, os
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+    from anisearch_model_spark.streaming.incremental import _append_batch
+    from anisearch_model_spark.config import BM25Params
+
+    full_pdf = gen_transcripts_pandas(1200, seed=33)
+    convs = sorted(full_pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d = str(tmp_path / "crash_idx")
+    build_index(spark, spark.createDataFrame(full_pdf[full_pdf["conv_id"] < cut], schema),
+                d, num_buckets=3)
+    batch = spark.createDataFrame(full_pdf[full_pdf["conv_id"] >= cut], schema)
+
+    # snapshot the commit point, run the batch, then roll the commit back
+    # — exactly the state a crash after doc_map/postings writes leaves
+    manifest0 = open(os.path.join(d, "manifest.json")).read()
+    stats0 = open(os.path.join(d, "stats.json")).read()
+    _append_batch(spark, batch, d, BM25Params())
+    open(os.path.join(d, "manifest.json"), "w").write(manifest0)
+    open(os.path.join(d, "stats.json"), "w").write(stats0)
+
+    # replay (what foreachBatch does after restart)
+    _append_batch(spark, batch, d, BM25Params())
+
+    idx = IndexStore(spark, d)
+    dm = idx.doc_map.select("doc_id").toPandas()
+    assert dm["doc_id"].is_unique, "orphan doc_map rows survived replay"
+    assert len(dm) == len(full_pdf) == idx.stats["n_docs"]
+
+    # and the replayed index equals a from-scratch build
+    d_full = str(tmp_path / "crash_full")
+    build_index(spark, spark.createDataFrame(full_pdf, schema), d_full, num_buckets=3)
+    full = IndexStore(spark, d_full)
+    for q in ["hero battle magic", "robot space"]:
+        a = topk_exhaustive(full, q, 10).toPandas()
+        b = topk_exhaustive(idx, q, 10).toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)

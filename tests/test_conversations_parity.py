@@ -50,3 +50,43 @@ def test_conversation_search_parity(spark, setup, q):
     np.testing.assert_array_equal(
         got["score"].to_numpy(), expect["score"].to_numpy()
     )
+
+
+def test_blank_turn_skip_parity(spark, tmp_path):
+    """Reference src/api.py:427-455 skips blank-synopsis rows BEFORE the
+    title dedup.  Inject blank/whitespace turns into conversations whose
+    other turns rank; the engine must match a pandas reference that
+    implements the skip (blank turns never become a conversation's best
+    turn, never shift ranks)."""
+    from anisearch_model_spark.index.store import build_index
+
+    rows = []
+    for i in range(40):
+        rows.append((f"c{i:03d}", 0, "user", f"hero battle number {i}", None, None))
+        rows.append((f"c{i:03d}", 1, "assistant", "", None, None))       # blank
+        rows.append((f"c{i:03d}", 2, "assistant", "   ", None, None))    # spaces
+        rows.append((f"c{i:03d}", 3, "user", f"filler text {i}", None, None))
+    tr = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"]),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    d = str(tmp_path / "blank_idx")
+    build_index(spark, tr, d, num_buckets=2)
+    idx = IndexStore(spark, d)
+    meta = (
+        idx.doc_map.select("doc_id", "conv_id", "turn_idx", "role", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    oracle = OracleIndex(meta[["doc_id", "text"]])
+    # pandas reference WITH the blank skip
+    nonblank = meta[meta["text"].fillna("").str.strip() != ""]
+    got = search_conversations(idx, "hero battle", k=10).toPandas()
+    expect = _oracle_conversations(
+        oracle, nonblank, "hero battle", 10)
+    assert got["conv_id"].tolist() == expect["conv_id"].tolist()
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), expect["score"].to_numpy())
+    # blank turns never surface
+    blank_ids = set(meta.loc[meta["text"].fillna("").str.strip() == "", "doc_id"])
+    assert not set(got["doc_id"]) & blank_ids
