@@ -46,6 +46,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash",
         "sim_cosine_topk",
+        "sim_ann_lsh",
+        "etl_merge_pipeline",
         "bm25_topk_documents",
     ]
     qs = entry_mod.queries()
