@@ -407,6 +407,15 @@ def dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8)
 
 
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-blocked (md5 hyperplanes →
+    the oracle mirrors the exact same-bucket candidate semantics)."""
+    from anisearch_model_spark.operators.dedup import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, dim=64, threshold=0.3, n_planes=8, seed=42)
+
+
 def dedup_simhash(spark, sf_dir):
     from anisearch_model_spark.operators.dedup import simhash
 
@@ -558,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
         "a5_corpus_stats": a5_corpus_stats,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
@@ -978,6 +988,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "dedup_embedding": """
+            WITH coef AS (
+              SELECT p.p, i.i,
+                     CASE WHEN substring(md5('42:' || p.p::varchar || ':' ||
+                                              i.i::varchar), 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                          THEN 1.0 ELSE -1.0 END AS c
+              FROM range(8) p(p), range(64) i(i)),
+            dots AS (
+              SELECT e.vec_id, c.p,
+                     sum(e.embedding[c.i + 1]::double * c.c ORDER BY c.i) AS d
+              FROM embeddings e, coef c
+              GROUP BY e.vec_id, c.p),
+            buckets AS (
+              SELECT vec_id,
+                     sum(CASE WHEN d >= 0 THEN (2 ** p)::bigint ELSE 0 END)::bigint
+                       AS bucket
+              FROM dots GROUP BY vec_id),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM buckets a JOIN buckets b USING (bucket)
+              WHERE a.vec_id < b.vec_id),
+            flat AS (
+              SELECT cand.id_a, cand.id_b, u.i,
+                     ea.embedding[u.i]::double AS xa, eb.embedding[u.i]::double AS xb
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.id_a
+              JOIN embeddings eb ON eb.vec_id = cand.id_b,
+              unnest(generate_series(1, 64)) u(i)),
+            agg AS (
+              SELECT id_a, id_b, sum(xa * xb) AS dot,
+                     sum(xa * xa) AS na, sum(xb * xb) AS nb
+              FROM flat GROUP BY id_a, id_b)
+            SELECT id_a, id_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 4)::double AS cosine
+            FROM agg
+            WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3
         """,
         "sim_ann_lsh": """
             WITH coef AS (

@@ -224,3 +224,43 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     return sh.withColumn("keep", F.row_number().over(w) == 1).select(
         "simhash", "doc_id", "keep"
     )
+
+
+def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.9,
+                          n_planes: int = 8, seed: int = 42,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked:
+    (id_a, id_b, cosine) for SAME-BUCKET pairs with cosine ≥ threshold.
+
+    Blocking = md5-derived random-hyperplane sign buckets
+    (operators/similarity.RandomHyperplaneLSH — SQL-reproducible, so the
+    oracle mirrors the exact candidate semantics).  The all-pairs compare
+    never happens: the self-join is on the bucket key, each bucket holds
+    ~N/2^n_planes vectors, and the join is bucket-co-partitioned — at
+    100 TB this is a bounded shuffle on a 2^n_planes-ary key (raise
+    n_planes with corpus size to keep buckets flat), not an O(N²) blow-up.
+    Cosines are computed JVM-side (zip_with/aggregate, float64) and
+    rounded to 4dp before the threshold for cross-engine determinism.
+    """
+    from anisearch_model_spark.operators.similarity import (
+        RandomHyperplaneLSH,
+        _as_double,
+        _dot,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed)
+    t = lsh.transform(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a = t.select(F.col("id").alias("id_a"), F.col("v").alias("_va"), "bucket")
+    b = t.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    va, vb = _as_double(F.col("_va")), _as_double(F.col("_vb"))
+    cos = F.round(
+        _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))), 4
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -78,6 +78,45 @@ def multifield_search(scored: DataFrame, key_col: str, k: int = 10,
     return rank_and_paginate(best, page, results_per_page, score_col, id_col)
 
 
+def search_fields(index, query_text: str, fields: list[str], k: int = 10,
+                  page: int = 1, pruned: bool = False) -> DataFrame:
+    """The reference's multi-COLUMN search, end-to-end with real scoring
+    (src/api.py:316-349: encode once → score each column's own matrix →
+    per-column top-k → merge → dedup by entity keeping best → paginate):
+
+      * each field is scored against ITS OWN sub-corpus (per-field
+        df/n_docs/avgdl from the field-qualified index; the postings scan
+        partition-prunes to that field),
+      * per-field top-k via TakeOrderedAndProject (T1),
+      * union merge (T2), conv-level dedup keeping the best field hit
+        with the explicit (score DESC, field ASC, doc_id ASC) tie-break
+        (T3), limit-first rank + page slice (T4+T5).
+
+    Returns (rank, conv_id, doc_id, field, score).
+    """
+    from functools import reduce
+
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw, topk_exhaustive
+
+    assert isinstance(index, IndexStore) and fields
+    fn = topk_bmw if pruned else topk_exhaustive
+    cand_k = page * k * 5
+    per_field = [
+        fn(index, query_text, cand_k, field=f).select(
+            F.lit(f).alias("field"), "doc_id", "score"
+        )
+        for f in fields
+    ]
+    cands = reduce(lambda a, b: a.unionByName(b), per_field)
+    meta = index.doc_map.select("doc_id", "conv_id")
+    cands = cands.join(meta, "doc_id")
+    best = dedup_best(cands, "conv_id", score_col="score", field_col="field",
+                      id_col="doc_id")
+    return rank_and_paginate(best, page, k, "score", "doc_id").select(
+        "rank", "conv_id", "doc_id", "field", "score"
+    )
+
+
 def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
                          pruned: bool = False) -> DataFrame:
     """Conversation-level search: score turns with BM25, dedup by conv_id

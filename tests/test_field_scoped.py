@@ -103,3 +103,40 @@ def test_unqualified_index_rejects_role(spark, index_dir):
     idx = IndexStore(spark, index_dir)
     with pytest.raises(ValueError, match="not field-qualified"):
         topk_exhaustive(idx, "hero", 5, field="assistant")
+
+
+def test_search_fields_parity_with_pandas_reference(spark, field_index):
+    """search_fields = the reference's per-column search shape
+    (src/api.py:316-349) with real per-field BM25: parity against a pandas
+    reference that scores each role against its OWN sub-corpus, takes
+    per-role top-k, merges, dedups by conversation keeping the best field
+    hit, and ranks."""
+    import pandas as pd
+    from anisearch_model_spark.query.multifield import search_fields
+
+    q = "hero battle magic world"
+    k, cand_k = 8, 8 * 5
+    fields = ["user", "assistant"]
+    meta = (
+        field_index.doc_map.select("doc_id", "conv_id", "role", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cands = []
+    for f in fields:
+        sub = meta[meta["role"] == f]
+        oracle = _role_oracle(field_index, f)
+        top = oracle.topk(q, cand_k).assign(field=f)
+        cands.append(top[["field", "doc_id", "score"]])
+    j = pd.concat(cands).merge(meta[["doc_id", "conv_id"]], on="doc_id")
+    j = j.sort_values(["score", "field", "doc_id"],
+                      ascending=[False, True, True], kind="mergesort")
+    best = j.drop_duplicates("conv_id", keep="first")
+    expect = best.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+
+    got = search_fields(field_index, q, fields, k=k).toPandas()
+    assert got["conv_id"].tolist() == expect["conv_id"].tolist()
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert got["field"].tolist() == expect["field"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), expect["score"].to_numpy())
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
