@@ -80,6 +80,18 @@ def p5_anti_join(spark, sf_dir):
     )
 
 
+def p4_array_filter(spark, sf_dir):
+    """P4: array-contains ban filter over a derived token array (the
+    columnar version of the reference's per-row literal_eval + any())."""
+    from anisearch_model_spark.operators.etl import filter_array_not_contains
+
+    d = _t(spark, sf_dir, "documents")
+    arr = d.withColumn("toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return filter_array_not_contains(arr, "toks", ["spark", "join"]).select(
+        "doc_id", "n_chars"
+    )
+
+
 def p7_any_nonempty(spark, sf_dir):
     """P6+P7: null-fill + any-nonempty text filter."""
     from anisearch_model_spark.operators.etl import any_nonempty_filter, fill_empty
@@ -543,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "p3_filter_project": p3_filter_project,
+        "p4_array_filter": p4_array_filter,
         "p5_anti_join": p5_anti_join,
         "p7_any_nonempty": p7_any_nonempty,
         "j1_full_outer": j1_full_outer,
@@ -609,6 +622,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "p4_array_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE NOT (
+              coalesce(list_contains(
+                regexp_split_to_array(lower(trim(text)), '\s+'), 'spark'), false)
+              OR coalesce(list_contains(
+                regexp_split_to_array(lower(trim(text)), '\s+'), 'join'), false))
         """,
         "p7_any_nonempty": """
             SELECT doc_id, lang, n_chars
