@@ -156,3 +156,123 @@ def test_append_replay_after_midbatch_crash_is_idempotent(spark, tmp_path):
         b = topk_exhaustive(idx, q, 10).toPandas()
         assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-9)
+
+
+def test_windowed_stream_agg_with_watermark(spark, tmp_path):
+    """Watermark + tumbling-window agg over a file stream (append mode):
+    a window emits once the watermark passes its end; a straggler landing
+    while its window is still open is COUNTED; one arriving after the
+    window closed is DROPPED; already-emitted windows never re-emit."""
+    import datetime as dt
+    import os
+    from anisearch_model_spark.streaming.windowed import (
+        EVENT_SCHEMA, finalized_windows, windowed_event_counts)
+
+    events_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [0]
+
+    def feed(specs):
+        rows = []
+        for m, et in specs:
+            rows.append((seq[0], t0 + dt.timedelta(minutes=m), 1, et, 1.0, None))
+            seq[0] += 1
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(events_dir)
+        windowed_event_counts(spark, events_dir, out_dir, ckpt,
+                              window_size="1 hour",
+                              late_tolerance="30 minutes")
+
+    def snapshot():
+        try:
+            rows = finalized_windows(spark, out_dir).collect()
+        except Exception:
+            return {}
+        out = {}
+        for r in rows:
+            key = (r["window_start"].hour, r["event_type"])
+            assert key not in out, f"window re-emitted: {key}"
+            out[key] = r["n"]
+        return out
+
+    # batch 1: hours 0 and 1 (max ts 01:10 → watermark 00:40, all open)
+    feed([(5, "click"), (20, "click"), (25, "error"), (70, "click")])
+    assert snapshot() == {}
+
+    # batch 2: in-window straggler for hour 0 (00:15 — hour-0 is still
+    # OPEN, watermark 00:40 < window end → counted) + hour-3 events that
+    # advance the watermark to 02:35, closing hours 0 and 1
+    feed([(15, "click"), (180, "click"), (185, "click")])
+    got = snapshot()
+    assert got[(0, "click")] == 3   # straggler counted: window was open
+    assert got[(0, "error")] == 1
+    assert got[(1, "click")] == 1
+    assert (3, "click") not in got  # hour 3 still open
+
+    # batch 3: a TOO-LATE hour-0 row (window closed at watermark 02:35)
+    # must be dropped; hour-5 events advance the watermark to 04:40 and
+    # finalize hour 3 — hour-0 counts must NOT change or re-emit
+    feed([(10, "click"), (300, "click"), (310, "click")])
+    got = snapshot()
+    assert got[(0, "click")] == 3   # dropped: arrived after window close
+    assert got[(3, "click")] == 2
+    assert (5, "click") not in got  # hour 5 still open
+
+
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions MERGE across
+    micro-batches via state, close by inactivity gap when a later event
+    arrives, and close by event-time TIMEOUT when the watermark passes
+    last_ts + gap with no further events."""
+    import datetime as dt
+    import os
+    from anisearch_model_spark.streaming.stateful import (
+        closed_sessions, sessionize_stream)
+    from anisearch_model_spark.streaming.windowed import EVENT_SCHEMA
+
+    events_dir = str(tmp_path / "st_in")
+    out_dir = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [0]
+
+    def feed(specs):
+        rows = []
+        for uid, m in specs:
+            rows.append((seq[0], t0 + dt.timedelta(minutes=m), uid,
+                         "click", 1.0, None))
+            seq[0] += 1
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(events_dir)
+        sessionize_stream(spark, events_dir, out_dir, ckpt,
+                          gap="30 minutes", late_tolerance="1 minute")
+
+    def got():
+        try:
+            return [(r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+                     r["session_end"].minute + 60 * r["session_end"].hour, r["n_events"])
+                    for r in closed_sessions(spark, out_dir).collect()]
+        except Exception:
+            return []
+
+    # batch 1: two users, sessions open
+    feed([(1, 0), (1, 10), (2, 5)])
+    assert got() == []
+
+    # batch 2: u1 continues its batch-1 session (state merge) then starts
+    # a new one 3h later — the old session closes BY GAP in this batch;
+    # u2's 3h-later event closes its old session the same way
+    feed([(1, 20), (1, 180), (2, 185)])
+    assert sorted(got()) == [(1, 0, 20, 3), (2, 5, 5, 1)]
+
+    # batch 3: only an unrelated user far in the future — the watermark
+    # passes last_ts+gap for u1/u2, so their OPEN sessions flush by
+    # event-time timeout; u99's own session stays open (never emitted)
+    feed([(99, 360)])
+    assert sorted(got()) == [
+        (1, 0, 20, 3), (1, 180, 180, 1), (2, 5, 5, 1), (2, 185, 185, 1)
+    ]
