@@ -326,6 +326,31 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join: each click event picks up the most recent error event
+    of the same user (backward inclusive; ties resolve to max event_id) —
+    union-window implementation, one shuffle on user_id."""
+    from anisearch_model_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, errors, on="ts", by=["user_id"],
+        value_cols=["event_id", "value"], right_order_col="event_id",
+        prefix="err_",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("err_event_id").cast("long").alias("err_event_id"),
+        F.round("err_value", 4).alias("err_value"),
+    )
+
+
 def events_window_agg(spark, sf_dir):
     """Tumbling 1-day window aggregation per event type."""
     e = _t(spark, sf_dir, "events")
@@ -571,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_merge_pipeline": etl_merge_pipeline,
         "events_sessionize": events_sessionize,
         "events_window_agg": events_window_agg,
+        "events_asof_join": events_asof_join,
         "tx_token_count": tx_token_count,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
@@ -811,6 +837,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n,
                    round(sum(value), 4)::double AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, 1 AS side,
+                     NULL::bigint AS r_eid, NULL::double AS r_val
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, event_id, 0 AS side, event_id, value
+              FROM events WHERE event_type = 'error'),
+            w AS (
+              SELECT *,
+                     last_value(r_eid IGNORE NULLS) OVER win AS err_event_id,
+                     last_value(r_val IGNORE NULLS) OVER win AS err_val
+              FROM u
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts, side, r_eid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, err_event_id,
+                   round(err_val, 4)::double AS err_value
+            FROM w WHERE side = 1
         """,
         "tx_token_count": """
             SELECT doc_id,

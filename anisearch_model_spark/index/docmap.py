@@ -30,7 +30,6 @@ makes resumable builds and local[8]-vs-local[32] rank identity possible.
 
 from __future__ import annotations
 
-from bisect import bisect_right
 from typing import Iterator
 
 import numpy as np
@@ -69,17 +68,29 @@ def _boundaries(transcripts: DataFrame, num_buckets: int) -> list[tuple[str, int
 
 def _bucket_of(conv: np.ndarray, turn: np.ndarray,
                bounds: list[tuple[str, int]]) -> np.ndarray:
-    """Vectorized bucket = bisect_right(bounds, (conv, turn))."""
+    """Vectorized bucket = bisect_right(bounds, (conv, turn)).
+
+    The turn tie-break for rows whose conv EQUALS a boundary conv is one
+    searchsorted per distinct colliding boundary conv (≤ num_buckets of
+    them), never a per-row Python loop — boundary convs are popular keys
+    by construction (they were sampled), so the colliding row count can
+    be large even when the distinct-conv count is tiny."""
     if not bounds:
         return np.zeros(len(conv), dtype="int32")
     b_conv = np.array([b[0] for b in bounds], dtype=object)
     lo = np.searchsorted(b_conv, conv, side="left")
     hi = np.searchsorted(b_conv, conv, side="right")
     out = hi.astype("int32")
-    # rows whose conv equals a boundary conv need the turn tie-break
     eq = np.nonzero(lo < hi)[0]
-    for i in eq:
-        out[i] = bisect_right(bounds, (conv[i], int(turn[i])))
+    if len(eq):
+        b_turn = np.array([b[1] for b in bounds], dtype="int64")
+        turn_eq = turn.astype("int64")
+        for l in np.unique(lo[eq]):
+            m = eq[lo[eq] == l]
+            h = int(hi[m[0]])
+            out[m] = l + np.searchsorted(
+                b_turn[int(l):h], turn_eq[m], side="right"
+            )
     return out
 
 

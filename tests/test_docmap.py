@@ -65,3 +65,27 @@ def test_no_duplicate_keys(spark):
         .count()
     )
     assert dups == 0
+
+
+def test_bucket_of_matches_bisect_under_heavy_boundary_ties():
+    """The vectorized turn tie-break must equal pure-python
+    bisect_right(bounds, (conv, turn)) even when many rows collide with
+    boundary convs (boundary convs are popular keys by construction)."""
+    from bisect import bisect_right
+
+    import numpy as np
+
+    from anisearch_model_spark.index.docmap import _bucket_of
+
+    rng = np.random.default_rng(11)
+    convs = [f"c{i:03d}" for i in range(12)]
+    # boundaries including repeated convs with different turn splits
+    bounds = [("c002", 3), ("c002", 7), ("c005", 0), ("c009", 4), ("c009", 4)]
+    conv = np.array([convs[i] for i in rng.integers(0, 12, 5000)], dtype=object)
+    turn = rng.integers(0, 10, 5000)
+    got = _bucket_of(conv, turn, bounds)
+    expect = np.array(
+        [bisect_right(bounds, (c, int(t))) for c, t in zip(conv, turn)],
+        dtype="int32",
+    )
+    np.testing.assert_array_equal(got, expect)

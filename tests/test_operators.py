@@ -323,3 +323,39 @@ def test_search_conversations_dedups_by_conv(spark, index_dir):
     assert out["conv_id"].is_unique
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
     assert (out["score"].diff().dropna() <= 1e-12).all()  # non-increasing
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of join: exact-ts matches count, duplicate
+    right rows at one instant resolve to max(right_order_col), tolerance
+    nulls out stale matches, and no-match rows stay null."""
+    import datetime as dt
+    from anisearch_model_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(30), 101), (2, t(5), 102), (3, t(7), 103)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 7, 1.0),   # exact-ts match for event 100
+         (1, t(10), 8, 2.0),   # same instant, higher id → wins the tie
+         (1, t(11), 9, 3.0),   # most recent before event 101
+         (2, t(1), 5, 4.0)],   # 4 min before event 102
+        "user_id long, ts timestamp, rid long, value double",
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["rid", "value"], right_order_col="rid",
+    ).toPandas().set_index("event_id")
+    assert out.loc[100, "asof_rid"] == 8       # inclusive + max-id tie-break
+    assert out.loc[101, "asof_rid"] == 9
+    assert out.loc[102, "asof_rid"] == 5
+    assert out.loc[103, ["asof_rid", "asof_value"]].isna().all()  # no match
+
+    tol = asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["rid"], right_order_col="rid", tolerance_sec=120,
+    ).toPandas().set_index("event_id")
+    assert tol.loc[100, "asof_rid"] == 8       # 0 s old: within tolerance
+    assert pd.isna(tol.loc[102, "asof_rid"])   # 240 s old: nulled out
