@@ -23,6 +23,17 @@ from pyspark.sql.window import Window
 from anisearch_model_spark.functions.windows import constant_partition
 
 
+def _seqdot(a, b):
+    """Sequential left-fold dot product — bit-identical to Spark's
+    ``aggregate`` fold and to SQL ``sum(x*y ORDER BY i)`` (numpy's pairwise
+    summation is NOT; driver-side constants embedded in oracle-mirrored
+    expressions must use this)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
@@ -158,4 +169,107 @@ class RandomHyperplaneLSH:
         )
         indexed = spark.read.parquet(path)
         cands = indexed.filter(F.col("bucket").isin(buckets)).drop("bucket")
+        return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+class IVFIndex:
+    """Inverted-file (coarse-quantizer) ANN — the other classic scale path
+    next to sign-LSH.
+
+    Centroids are the embeddings of ``n_lists`` deterministic seed ids
+    (the smallest ids in the table) — a pure function of the data that a
+    SQL oracle reproduces exactly, unlike k-means with RNG init.  A Lloyd
+    refinement step is available (``refine=N``) for real deployments;
+    oracle-checked entries use refine=0.
+
+    ``fit`` materializes (id, list_id, embedding) ``partitionBy(list_id)``
+    — assignment is argmax cosine against the broadcast centroids, one
+    narrow map over the table.  ``query`` probes the ``nprobe`` centroids
+    closest to the query vector and exact-reranks only those partitions:
+    the scan prunes to ~nprobe/n_lists of the data.
+    """
+
+    def __init__(self, n_lists: int = 16, nprobe: int = 4):
+        self.n_lists = n_lists
+        self.nprobe = nprobe
+        self.centroids: list[tuple[int, list[float]]] | None = None
+
+    def _fit_centroids(self, df: DataFrame, id_col: str, vec_col: str,
+                       refine: int = 0) -> None:
+        seeds = (
+            df.orderBy(F.asc(id_col)).limit(self.n_lists)
+            .select(id_col, vec_col).collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in seeds]
+        for _ in range(refine):
+            assigned = self._assign(df, cents, id_col, vec_col)
+            dim = len(cents[0])
+            means = (
+                assigned.groupBy("list_id")
+                .agg(*[
+                    F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)
+                ])
+                .collect()
+            )
+            by_list = {int(r["list_id"]): [float(r[f"m{i}"]) for i in range(dim)]
+                       for r in means}
+            cents = [by_list.get(j, cents[j]) for j in range(self.n_lists)]
+        self.centroids = list(enumerate(cents))
+
+    def _assign(self, df: DataFrame, cents: list[list[float]], id_col: str,
+                vec_col: str) -> DataFrame:
+        """argmax-cosine list assignment (ties → lowest list_id), JVM-side:
+        one array_max over the per-centroid cosine array."""
+        import math
+
+        emb = _as_double(F.col(vec_col))
+        norm = F.sqrt(_dot(emb, emb))
+        cos_arr = F.array(*[
+            F.round(_dot(emb, F.array(*[F.lit(float(x)) for x in c]))
+                    / (norm * F.lit(math.sqrt(_seqdot(c, c)))), 6)
+            for c in cents
+        ])
+        best = F.array_max(cos_arr)
+        list_id = F.array_position(cos_arr, best) - 1  # first max → lowest id
+        return df.withColumn("list_id", list_id.cast("int"))
+
+    def fit(self, df: DataFrame, path: str, id_col: str = "vec_id",
+            vec_col: str = "embedding", refine: int = 0) -> None:
+        self._fit_centroids(df, id_col, vec_col, refine)
+        self._assign(df, [c for _j, c in self.centroids], id_col, vec_col) \
+            .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+    def _probe_lists(self, query_vec: list[float]) -> list[int]:
+        import math
+
+        q = [float(x) for x in query_vec]
+        qn = math.sqrt(_seqdot(q, q))
+        sims = [
+            (round(_seqdot(q, c) / (qn * math.sqrt(_seqdot(c, c))), 6), -j)
+            for j, c in self.centroids
+        ]
+        order = sorted(sims, reverse=True)  # cosine desc, list_id asc
+        return [-nj for _s, nj in order[: self.nprobe]]
+
+    def query_index(self, spark: SparkSession, path: str,
+                    query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+        """Exact top-k among the nprobe closest lists only (the list_id IN
+        filter is a PartitionFilter on the fit layout)."""
+        lists = self._probe_lists(query_vec)
+        cands = spark.read.parquet(path).filter(
+            F.col("list_id").isin(lists)
+        ).drop("list_id")
+        return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+    def query(self, df: DataFrame, query_vec: list[float], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """Index-free expression path (stateless oracle entries): assign
+        on the fly, filter to the probed lists, exact rerank."""
+        assert self.centroids is not None, "call _fit_centroids/fit first"
+        lists = self._probe_lists(query_vec)
+        assigned = self._assign(df, [c for _j, c in self.centroids],
+                                id_col, vec_col)
+        cands = assigned.filter(F.col("list_id").isin(lists)).drop("list_id")
         return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -359,3 +359,36 @@ def test_asof_join_semantics(spark):
     ).toPandas().set_index("event_id")
     assert tol.loc[100, "asof_rid"] == 8       # 0 s old: within tolerance
     assert pd.isna(tol.loc[102, "asof_rid"])   # 240 s old: nulled out
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF coarse quantizer: materialized layout prunes to the probed
+    list partitions, the expression path matches the index path exactly,
+    and recall on clustered data is high (nprobe/n_lists = 1/4 of the
+    table scanned)."""
+    from anisearch_model_spark.operators.similarity import IVFIndex, cosine_topk
+    from anisearch_model_spark.plans.inspect import has_partition_filter
+
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((10, 32))
+    assign = rng.integers(0, 10, size=400)
+    vecs = (centers[assign] + 0.1 * rng.standard_normal((400, 32))).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = list(vecs[3].astype("float64"))
+
+    ivf = IVFIndex(n_lists=16, nprobe=4)
+    path = str(tmp_path / "ivf_idx")
+    ivf.fit(df, path)
+    exact = cosine_topk(df, q, k=10).toPandas()
+    idxd = ivf.query_index(spark, path, q, k=10)
+    assert has_partition_filter(idxd, "list_id")
+    got = idxd.toPandas()
+    expr = ivf.query(df, q, k=10).toPandas()
+    assert got["vec_id"].tolist() == expr["vec_id"].tolist()
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8, recall
+    # Lloyd refinement stays functional (not oracle-checked, just green)
+    ivf2 = IVFIndex(n_lists=8, nprobe=3)
+    ivf2.fit(df, str(tmp_path / "ivf2"), refine=1)
+    assert len(ivf2.query_index(spark, str(tmp_path / "ivf2"), q, k=5).collect()) == 5
