@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="scope to one field of a field-qualified index")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
+    s.add_argument("--fields", default=None,
+                   help="comma-separated fields: per-field scoring + "
+                        "conv-level merge (reference multi-column search)")
 
     a = sub.add_parser("append", help="incremental index append (streaming)")
     a.add_argument("--stream-dir", required=True)
@@ -78,7 +81,13 @@ def main(argv: list[str] | None = None) -> int:
             from anisearch_model_spark.query.multifield import search_conversations
 
             idx = IndexStore(spark, args.index)
-            if args.conversations:
+            if args.fields:
+                from anisearch_model_spark.query.multifield import search_fields
+
+                out = search_fields(idx, args.query,
+                                    args.fields.split(","), k=args.k,
+                                    page=args.page, pruned=args.pruned)
+            elif args.conversations:
                 out = search_conversations(idx, args.query, k=args.k,
                                            page=args.page, pruned=args.pruned)
             else:

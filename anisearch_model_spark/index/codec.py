@@ -336,7 +336,11 @@ def decode_values(buf: bytes) -> np.ndarray:
         return pfor_decode(buf)
     if buf[:1] == FLAG_VARINT:
         return varint_decode(buf[1:])
-    raise ValueError(f"unknown codec flag {buf[:1]!r}")
+    raise ValueError(
+        f"unknown codec flag {buf[:1]!r} — posting buffer is not "
+        "flag-prefixed (index built by a pre-codec-flag version?); "
+        "rebuild the index"
+    )
 
 
 def decode_posting_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
