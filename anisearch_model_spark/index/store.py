@@ -46,10 +46,12 @@ from pyspark.sql import functions as F
 
 from anisearch_model_spark.config import BM25Params, TOKENIZER_VERSION
 from anisearch_model_spark.index.build import (
+    DICTIONARY_SCHEMA,
+    POSTINGS_SCHEMA,
     dictionary_from_postings,
     fused_tokenize_encode,
 )
-from anisearch_model_spark.index.docmap import bucketed_corpus
+from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA, bucketed_corpus
 
 CHECKPOINT_SCHEMA = (
     "bucket int, status string, postings_emitted long, bytes_compressed long, "
@@ -77,9 +79,9 @@ def _write_checkpoints(spark: SparkSession, index_dir: str, buckets: list[int],
     """Record per-bucket metrics from the freshly written postings."""
     if not buckets:
         return
-    written = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("bucket").isin(buckets)
-    )
+    written = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    ).filter(F.col("bucket").isin(buckets))
     metrics = (
         written.groupBy("bucket")
         .agg(
@@ -124,7 +126,9 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
     {n_docs, avgdl} so field-scoped queries score against the field's own
     sub-corpus (the reference scores each text column independently,
     src/api.py:316-349)."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
     dict_path = os.path.join(index_dir, "dictionary")
     # term-sorted within files: per-query `term IN (...)` lookups prune by
     # Parquet row-group min/max stats instead of scanning the vocabulary
@@ -132,19 +136,21 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         "overwrite"
     ).parquet(dict_path)
     total_tokens = (
-        spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
+        spark.read.schema(DICTIONARY_SCHEMA).parquet(dict_path)
+        .agg(F.sum("cf").alias("s")).collect()[0]["s"]
         or 0
     )
     fields: dict[str, dict] = {}
     if field_col:
         doc_counts = {
             r[field_col]: r["n"]
-            for r in spark.read.parquet(os.path.join(index_dir, "doc_map"))
+            for r in spark.read.schema(BUCKETED_SCHEMA)
+            .parquet(os.path.join(index_dir, "doc_map"))
             .groupBy(field_col).agg(F.count("*").alias("n")).collect()
         }
         tok_counts = {
             r["field"]: r["s"]
-            for r in spark.read.parquet(dict_path)
+            for r in spark.read.schema(DICTIONARY_SCHEMA).parquet(dict_path)
             .groupBy("field").agg(F.sum("cf").alias("s")).collect()
         }
         fields = {
@@ -249,7 +255,7 @@ def build_index(
         old_cost = spark.conf.get("spark.sql.files.openCostInBytes", None)
         spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
         try:
-            docs = spark.read.parquet(doc_map_path)
+            docs = spark.read.schema(BUCKETED_SCHEMA).parquet(doc_map_path)
             if len(todo) != len(all_buckets):
                 docs = docs.filter(F.col("bucket").isin(todo))
             postings = fused_tokenize_encode(docs, field_col=field_col,

@@ -91,17 +91,33 @@ class IndexStore:
             )
         return int(fs[field]["n_docs"]), float(fs[field]["avgdl"])
 
+    # explicit schemas on every reader: an empty index (0-doc corpus)
+    # writes directories with no data files, and schema inference would
+    # throw UNABLE_TO_INFER_SCHEMA instead of returning empty frames
+
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        from anisearch_model_spark.index.build import POSTINGS_SCHEMA
+
+        return self.spark.read.schema(POSTINGS_SCHEMA).parquet(
+            os.path.join(self.index_dir, "postings")
+        )
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        from anisearch_model_spark.index.build import DICTIONARY_SCHEMA
+
+        return self.spark.read.schema(DICTIONARY_SCHEMA).parquet(
+            os.path.join(self.index_dir, "dictionary")
+        )
 
     @property
     def doc_map(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+        from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
+
+        return self.spark.read.schema(BUCKETED_SCHEMA).parquet(
+            os.path.join(self.index_dir, "doc_map")
+        )
 
 
 def parse_query(query_text: str) -> list[str]:

@@ -66,3 +66,21 @@ def test_checkpoint_metrics_recorded(spark, tmp_path):
     assert (cp["bytes_compressed"] > 0).all()
     assert (cp["skew_ratio"] >= 1.0).all()
     assert cp["lineage"].str.contains("tokenizer_version").all()
+
+
+def test_empty_corpus_builds_and_queries(spark, tmp_path):
+    """A 0-doc corpus must build a valid (empty) index and answer queries
+    with 0 rows — empty partition dirs have no data files, so every index
+    reader pins its schema instead of relying on inference."""
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, search, topk_bmw
+
+    d = str(tmp_path / "empty_idx")
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    m = build_index(spark, empty, d, num_buckets=4)
+    assert m["n_docs"] == 0
+    idx = IndexStore(spark, d)
+    assert search(idx, "hero", k=5).count() == 0
+    assert topk_bmw(idx, "hero", 5).count() == 0
+    assert idx.term_dfs(["hero"]) == {}
