@@ -72,11 +72,13 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
     buckets = manifest["buckets"]
     max_bucket = max(int(b) for b in buckets)
     _repair_orphan_doc_map(index_dir, max_bucket)
-    avg_span = max(1, n_existing // len(buckets))
-
     n_new = batch_df.count()
     if n_new == 0:
         return
+    # span fallback: appending onto a tiny/empty base must not degenerate
+    # into one-doc buckets (an empty base made span=1 → n_new single-row
+    # buckets → n_new tasks per stage)
+    avg_span = max(n_existing // max(len(buckets), 1), n_new // 32, 1)
     n_parts = max(1, math.ceil(n_new / avg_span))
 
     ranged, offsets, counts = bucketed_corpus(batch_df, n_parts)

@@ -276,3 +276,24 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     assert sorted(got()) == [
         (1, 0, 20, 3), (1, 180, 180, 1), (2, 5, 5, 1), (2, 185, 185, 1)
     ]
+
+
+def test_append_onto_empty_base_index(spark, tmp_path):
+    """Streaming append onto a 0-doc base index must work AND must not
+    degenerate into one-doc buckets (the old span=n_existing//buckets
+    heuristic hit 1 on an empty base → n_new single-row buckets)."""
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA, gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+    from anisearch_model_spark.streaming.incremental import incremental_append
+
+    d = str(tmp_path / "eb_idx")
+    stream_dir = str(tmp_path / "eb_stream")
+    build_index(spark, spark.createDataFrame([], TRANSCRIPT_SCHEMA), d,
+                num_buckets=4)
+    gen_transcripts(spark, 500, seed=5).write.parquet(stream_dir)
+    incremental_append(spark, stream_dir, d)
+    idx = IndexStore(spark, d)
+    assert idx.stats["n_docs"] == 500
+    assert idx.stats["num_buckets"] < 60  # not one bucket per doc
+    assert topk_exhaustive(idx, "hero battle", 5).count() > 0
