@@ -98,6 +98,34 @@ def main() -> None:
     batch_sec = time.time() - t0
     timings["bm25_batch_x20"] = round(batch_sec, 3)
 
+    # block-max decode-skip evidence: the flat synthetic bench corpus has
+    # no score variance, so pruning can't trigger there (every segment
+    # bound ties the top score); measure the skip ratio on a corpus WITH
+    # variance instead — high-tf docs fill the heap in one segment and
+    # the remaining blocks are never decompressed
+    import pandas as pd
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from pyspark.sql import functions as F
+
+    rows = [(f"a{i:03d}", 0, "user", " ".join(["hero"] * 20), None, None)
+            for i in range(10)]
+    rows += [(f"f{i:05d}", 0, "user", f"hero w{i % 7} w{(i + 1) % 7} w2 w3",
+              None, None) for i in range(20000)]
+    bmw_dir = "/tmp/asms_bench_bmw_idx"
+    shutil.rmtree(bmw_dir, ignore_errors=True)
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ), schema=TRANSCRIPT_SCHEMA),
+        bmw_dir, num_buckets=1,
+    )
+    bmw_idx = IndexStore(spark, bmw_dir)
+    total_blocks = bmw_idx.postings.filter(F.col("term") == "hero").count()
+    acc = spark.sparkContext.accumulator(0)
+    _noop_write(topk_bmw(bmw_idx, "hero", 10, decode_counter=acc))
+    bmw_decoded, bmw_total = int(acc.value), int(total_blocks)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -111,6 +139,8 @@ def main() -> None:
                 "batch_queries_per_sec": round(20 / batch_sec, 2),
                 "n_turns": n_turns,
                 "cpus": cpus,
+                "bmw_blocks_decoded": bmw_decoded,
+                "bmw_blocks_total": bmw_total,
             }
         )
     )
