@@ -118,31 +118,49 @@ def jaccard_pairs(
     return _verify_jaccard(cand, toks, sizes, threshold)
 
 
-def minhash_signatures(
+def minhash_signature_arrays(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, toks: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, i, minhash) — md5-family MinHash signature components.
+    """(doc_id, sigs array<string>) — md5-family MinHash signatures.
+
+    Each DISTINCT vocabulary token is hashed once per hash function into
+    an ARRAY (md5 cost ∝ |vocab|, not corpus token count) and broadcast
+    back; per-doc signatures are element-wise string-mins — ONE shuffle
+    on doc_id over the (doc, token) relation, never the ×num_hashes
+    exploded relation (measured: the exploded groupBy((doc, i)) shuffled
+    16× the rows and dominated dedup_minhash).
+
     ``toks``: optionally reuse an already-tokenized (doc_id, token) frame
     (the corpus is tokenized once per dedup run, not once per stage)."""
     if toks is None:
         toks = _tokens(df, id_col, text_col)
-    # hash each DISTINCT vocabulary token once per hash function and
-    # broadcast the (token, i, h) table back — md5 cost scales with |vocab|,
-    # not with corpus token count (Zipf: vocab ≪ tokens at any scale)
     tok_hash = (
         toks.select("token")
         .distinct()
         .select(
             "token",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        )
-        .withColumn(
-            "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("token")))
+            F.array(*[
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))
+                for i in range(num_hashes)
+            ]).alias("_hs"),
         )
     )
     hashed = toks.join(F.broadcast(tok_hash), "token")
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minhash"))
+    return hashed.groupBy("doc_id").agg(
+        F.array(*[F.min(F.col("_hs")[i]) for i in range(num_hashes)]).alias("sigs")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, toks: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, i, minhash) — row form of ``minhash_signature_arrays``."""
+    arr = minhash_signature_arrays(df, id_col, text_col, num_hashes, toks)
+    return arr.select(
+        "doc_id", F.posexplode("sigs").alias("i", "minhash")
+    )
 
 
 def minhash_lsh_pairs(
@@ -167,21 +185,21 @@ def minhash_lsh_pairs(
     still catching true near-dups (P(caught | s=0.8) ≈ 0.9).
     """
     toks = _tokens(df, id_col, text_col).cache()
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, toks=toks)
-    bands = (
-        sig.withColumn("band", (F.col("i") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                    "",
-                )
-            ).alias("band_key")
-        )
+    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, toks=toks)
+    n_bands = num_hashes // band_size
+    # bands straight off the signature array — no (doc, band) shuffle:
+    # band_key = md5(concat of the band's hashes in i order), exactly the
+    # oracle's md5(string_agg(minhash, '' ORDER BY i))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(
+                    "", F.slice("sigs", b * band_size + 1, band_size)
+                ))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_key"),
     )
     cand = (
         bands.alias("a")
