@@ -584,6 +584,59 @@ def bm25_topk_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def bm25_multifield_lang(spark, sf_dir):
+    """The reference's multi-COLUMN search shape (per-column scoring →
+    per-column top-k → merge → entity dedup-best → rank, src/api.py:316-349)
+    over documents: each LANG is a field scored against its own sub-corpus
+    (per-lang df/n_docs/avgdl), composed through the actual T1→T5 module
+    functions (per_field_topk → dedup_best by source → rank_and_paginate)."""
+    from anisearch_model_spark.query.multifield import (
+        dedup_best,
+        per_field_topk,
+        rank_and_paginate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    meta = d.select("doc_id", "lang", "source")
+    w_doc = Window.partitionBy("doc_id")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).join(
+        F.broadcast(meta), "doc_id"
+    )
+    w_tok_lang = Window.partitionBy("token", "lang")
+    tf3 = tf2.withColumn("df", F.count("*").over(w_tok_lang))
+    stats = tf2.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    scored = (
+        tf3.filter(F.col("token").isin(_BM25_QUERY_TERMS))
+        .join(F.broadcast(stats), "lang")
+        .withColumn(
+            "idf",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    cands = per_field_topk(scored, 10, field_col="lang",
+                           score_col="score", id_col="doc_id")
+    best = dedup_best(cands, "source", score_col="score", field_col="lang",
+                      id_col="doc_id")
+    out = rank_and_paginate(best, page=1, results_per_page=10,
+                            score_col="score", id_col="doc_id")
+    return out.select("rank", "source", "doc_id", "lang", "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-10 documents."""
     return bm25_topk_documents(spark, "/root/testdata/sf0.001")
@@ -625,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf": sim_ivf,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_multifield_lang": bm25_multifield_lang,
     }
 
 
@@ -1045,6 +1099,50 @@ def oracle_sql() -> dict[str, str]:
                    vec_id,
                    round(dot / (sqrt(nd) * sqrt(nq)), 4)::double AS cosine
             FROM agg
+            ORDER BY rank LIMIT 10
+        """,
+        "bm25_multifield_lang": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            tf2 AS (
+              SELECT tf.*, d.lang, d.source,
+                     sum(tf) OVER (PARTITION BY tf.doc_id) AS dl
+              FROM tf JOIN documents d USING (doc_id)),
+            tf3 AS (
+              SELECT *, count(*) OVER (PARTITION BY token, lang) AS df
+              FROM tf2),
+            stats AS (
+              SELECT lang, count(DISTINCT doc_id) AS n_docs,
+                     sum(tf) / count(DISTINCT doc_id) AS avgdl
+              FROM tf2 GROUP BY lang),
+            scored AS (
+              SELECT doc_id, tf3.lang, source,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 4)
+                       AS score
+              FROM tf3 JOIN stats ON tf3.lang = stats.lang
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY doc_id, tf3.lang, source),
+            cands AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id ASC) rn FROM scored)
+              WHERE rn <= 10),
+            best AS (
+              SELECT doc_id, lang, source, score FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, lang ASC, doc_id ASC) rn2
+                FROM cands) WHERE rn2 = 1)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::bigint
+                     AS rank,
+                   source, doc_id, lang, score::double AS score
+            FROM best
             ORDER BY rank LIMIT 10
         """,
         "sim_ivf": """
