@@ -584,6 +584,30 @@ def bm25_topk_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end through the REAL Arrow/mapInPandas
+    path (operators/multimodal.py): documents wrapped as binary media
+    payloads, deterministic md5-derived fake features (the decode stub —
+    no codec libs in this container), exploded to (media_id, k, feat).
+    Feature values are uint16/65536 — exactly representable in float32
+    AND double, so the DuckDB mirror reproduces them bit-for-bit from
+    md5 hex digits."""
+    from anisearch_model_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(d))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("feature").alias("k", "feat"),
+    ).select(
+        "media_id", "kind", "n_bytes", F.col("k").cast("long").alias("k"),
+        F.col("feat").cast("double").alias("feat"),
+    )
+
+
 def bm25_multifield_lang(spark, sf_dir):
     """The reference's multi-COLUMN search shape (per-column scoring →
     per-column top-k → merge → entity dedup-best → rank, src/api.py:316-349)
@@ -679,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": sim_ivf,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_multifield_lang": bm25_multifield_lang,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -1100,6 +1125,21 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(nd) * sqrt(nq)), 4)::double AS cosine
             FROM agg
             ORDER BY rank LIMIT 10
+        """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, md5(text) AS h,
+                     octet_length(encode(text))::bigint AS n_bytes
+              FROM documents)
+            SELECT media_id, 'image' AS kind, n_bytes, r.k::bigint AS k,
+                   (
+                     ((strpos('0123456789abcdef', substr(h, 4*r.k + 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 4*r.k + 2, 1)) - 1))
+                     + 256 *
+                     ((strpos('0123456789abcdef', substr(h, 4*r.k + 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 4*r.k + 4, 1)) - 1))
+                   )::double / 65536.0 AS feat
+            FROM m, range(8) r(k)
         """,
         "bm25_multifield_lang": f"""
             WITH toks AS (
