@@ -270,7 +270,10 @@ def pfor_encode(values: np.ndarray) -> bytes:
     width = min(max(int(p90).bit_length(), 1), 64)
     mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     low = a & mask
-    high = a >> np.uint64(width)
+    # a >> 64 is a shift equal to the operand width — undefined in C and
+    # platform-dependent in numpy (x86 masks the count to 0) — so width=64
+    # is special-cased: every value fits the packed low bits, no exceptions
+    high = a >> np.uint64(width) if width < 64 else np.zeros(n, dtype=np.uint64)
     # pack low bits LSB-first: value bytes → (n, 64) bit matrix → take the
     # low `width` bit columns → packbits (three vectorized byte ops, no
     # per-value shifts/dots)

@@ -53,6 +53,9 @@ from anisearch_model_spark.index.build import (
 )
 from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA, bucketed_corpus
 
+# bump when the on-disk posting-buffer layout changes incompatibly
+INDEX_FORMAT_VERSION = 2
+
 CHECKPOINT_SCHEMA = (
     "bucket int, status string, postings_emitted long, bytes_compressed long, "
     "n_terms long, skew_ratio double, lineage string, updated_at double"
@@ -170,6 +173,12 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         "field_col": field_col,
         "fields": fields,
         "codec": codec,
+        # format 2 = flag-prefixed posting buffers (b'V' varint / b'P'
+        # pfor).  IndexStore gates on this, so a legacy (unflagged) index
+        # fails loudly at OPEN time — never by probabilistically sniffing
+        # the first payload byte, whose value 0x56/0x50 a legacy varint
+        # buffer can legitimately start with
+        "index_format_version": INDEX_FORMAT_VERSION,
     }
     with open(os.path.join(index_dir, "stats.json"), "w", encoding="utf-8") as f:
         json.dump(stats, f, indent=2, sort_keys=True)

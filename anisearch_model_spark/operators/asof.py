@@ -51,17 +51,29 @@ def asof_join(
     """
     by = list(by)
     vals = list(value_cols)
-    # helper columns: one _r_<c> per distinct right column carried over
-    # (right_order_col may also be a value column — carry it once)
+    # the whole right row rides in ONE struct, so every attached column
+    # (and the tolerance anchor) comes from the SAME matched right row —
+    # per-column last(ignorenulls) would skip a right row whose value is
+    # genuinely NULL and stitch together values from different rows
     carried = list(dict.fromkeys(vals + [right_order_col]))
-    lpad = left
-    for c in carried:
-        lpad = lpad.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    lpad = lpad.withColumn("_side", F.lit(1))
+    row_type = (
+        "struct<_on:" + right.schema[on].dataType.simpleString()
+        + "".join(f",{c}:{right.schema[c].dataType.simpleString()}"
+                  for c in carried) + ">"
+    )
+    lpad = (
+        left.withColumn("_r_row", F.lit(None).cast(row_type))
+        .withColumn("_ord", F.lit(None).cast(right.schema[right_order_col].dataType))
+        .withColumn("_side", F.lit(1))
+    )
 
     rsel = [F.col(c) for c in by] + [F.col(on)]
-    rsel += [F.col(c).alias(f"_r_{c}") for c in carried]
-    rsel += [F.lit(0).alias("_side")]
+    rsel += [
+        F.struct(F.col(on).alias("_on"),
+                 *[F.col(c).alias(c) for c in carried]).alias("_r_row"),
+        F.col(right_order_col).alias("_ord"),
+        F.lit(0).alias("_side"),
+    ]
     rpad = right.select(*rsel)
     # right rows carry only the union schema; left rows keep their payload
     left_cols = [c for c in left.columns]
@@ -72,28 +84,24 @@ def asof_join(
 
     # side=0 sorts before side=1 at equal `on` → inclusive backward match;
     # right duplicates at one instant resolve to max(right_order_col)
+    # (nulls-first asc keeps left rows out of the _ord tie-break)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.asc(on), F.asc("_side"), F.asc(f"_r_{right_order_col}"))
+        .orderBy(F.asc(on), F.asc("_side"), F.asc_nulls_first("_ord"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
-    matched_on = F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
-    out = out.withColumn("_matched_on", matched_on.over(w))
-    for c in vals:
-        out = out.withColumn(
-            f"{prefix}{c}",
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w),
-        )
-    out = out.filter(F.col("_side") == 1)
+    out = u.withColumn("_m", F.last("_r_row", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    matched = F.col("_m")
     if tolerance_sec is not None:
+        # cast-to-double keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds); the anchor is the matched row's own
+        # `on`, so tolerance and values always agree on which row matched
         in_tol = (
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_matched_on"))
+            F.col(on).cast("double") - matched["_on"].cast("double")
         ) <= F.lit(float(tolerance_sec))
-        for c in vals:
-            out = out.withColumn(
-                f"{prefix}{c}",
-                F.when(in_tol, F.col(f"{prefix}{c}")),
-            )
-    drop = ["_side", "_matched_on"] + [f"_r_{c}" for c in carried]
-    return out.drop(*drop)
+        matched = F.when(in_tol, F.col("_m"))
+    for c in vals:
+        out = out.withColumn(f"{prefix}{c}", matched[c])
+    return out.drop("_side", "_r_row", "_ord", "_m")

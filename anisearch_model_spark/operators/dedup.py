@@ -40,6 +40,17 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Materialize the (small) pair result eagerly, truncating its lineage,
+    then release the big cached token relation — the cache must not leak
+    executor storage across repeated dedup runs in one session.  The
+    localCheckpoint blocks hold only |pairs| rows and are freed by Spark's
+    ContextCleaner when the returned DataFrame is garbage-collected."""
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def _verify_jaccard(cand: DataFrame, toks: DataFrame, sizes: DataFrame,
                     threshold: float) -> DataFrame:
     """Exact-Jaccard verify, CANDIDATE-DRIVEN: each candidate pair joins
@@ -115,7 +126,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(cand, toks, sizes, threshold)
+    return _materialize_release(_verify_jaccard(cand, toks, sizes, threshold), toks)
 
 
 def minhash_signature_arrays(
@@ -186,7 +197,10 @@ def minhash_lsh_pairs(
     """
     toks = _tokens(df, id_col, text_col).cache()
     sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, toks=toks)
-    n_bands = num_hashes // band_size
+    # ceil: a num_hashes not divisible by band_size emits a final PARTIAL
+    # band (the `i // band_size` grouping) instead of silently dropping the
+    # remainder hashes; F.slice past the array end returns the short tail
+    n_bands = -(-num_hashes // band_size)
     # bands straight off the signature array — no (doc, band) shuffle:
     # band_key = md5(concat of the band's hashes in i order), exactly the
     # oracle's md5(string_agg(minhash, '' ORDER BY i))
@@ -209,7 +223,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    return _verify_jaccard(cand, toks, sizes, threshold)
+    return _materialize_release(_verify_jaccard(cand, toks, sizes, threshold), toks)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -220,19 +234,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bit j is 1 iff more tokens vote 1 than 0.  Identical across engines.
     """
     toks = _tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
-    votes = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.when(
-            F.substring("h", F.col("j") + 1, 1).isin(*list("89abcdef")), 1
-        ).otherwise(-1).alias("vote"),
+    # one conditional-sum column per bit over the UN-EXPLODED (doc, token)
+    # relation: exploding tokens × bits would shuffle `bits`× the token
+    # relation to (doc_id, j) — at 100 TB that ×16 shuffle dominates; this
+    # form is ONE map-side-combining groupBy on doc_id, same result
+    def vote(j: int):
+        return F.when(
+            F.substring("h", j + 1, 1).isin(*list("89abcdef")), 1
+        ).otherwise(-1)
+
+    agg = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(bits)]
     )
-    bitvals = votes.groupBy("doc_id", "j").agg(
-        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit")
-    )
-    return bitvals.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias("simhash")
-    )
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(0).cast("long")
+    return agg.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",

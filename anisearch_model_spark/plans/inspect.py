@@ -64,6 +64,16 @@ def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
 
 
+def generate_count(df: DataFrame) -> int:
+    """Number of Generate (explode) nodes — each one multiplies its input
+    relation, so operators assert a budget on them.  Counts the plan-tree
+    overview lines of ``explain("formatted")``, where every node appears
+    exactly once as ``NodeName (id)``."""
+    import re
+
+    return len(re.findall(r"Generate \(\d+\)", formatted_plan(df)))
+
+
 def takes_ordered_and_project(df: DataFrame) -> bool:
     """ORDER BY + LIMIT planned as a per-partition heap (no full sort)."""
     return "TakeOrderedAndProject" in formatted_plan(df)

@@ -50,6 +50,17 @@ class IndexStore:
         self._df_cache: dict[tuple[str | None, str], int | None] = {}
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
+        from anisearch_model_spark.index.store import INDEX_FORMAT_VERSION
+
+        got = self.stats.get("index_format_version")
+        if got != INDEX_FORMAT_VERSION:
+            # version gate at OPEN time: a legacy varint buffer can start
+            # with 0x56/0x50 by chance, so the decoder's flag sniff alone
+            # cannot reliably reject pre-flag indexes — the stats marker can
+            raise ValueError(
+                f"index at {index_dir} has format version {got!r}, engine "
+                f"requires {INDEX_FORMAT_VERSION} — rebuild the index"
+            )
 
     def term_dfs(self, terms: list[str],
                  field: str | None = None) -> dict[str, int]:

@@ -62,7 +62,14 @@ def _session_fn(gap_ms: int):
                 closed.append((start_ms, last_ms, n))
                 start_ms, last_ms, n = t, t, 1
             else:
-                last_ms, n = t, n + 1
+                # events are sorted only WITHIN a batch: a late-but-within-
+                # watermark event from a later micro-batch can precede the
+                # stored session bounds — merge with min/max so an earlier
+                # event never shrinks session_end or mis-anchors the next
+                # gap check, and can extend session_start backwards
+                start_ms = min(start_ms, t)
+                last_ms = max(last_ms, t)
+                n += 1
         state.update((start_ms, last_ms, n))
         # event-time timeout: flush the open session once the watermark
         # passes last_ms + gap (must stay strictly above the watermark)

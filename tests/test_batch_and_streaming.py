@@ -278,6 +278,50 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     ]
 
 
+def test_stateful_sessionizer_late_event_merge(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER micro-batch
+    with t inside the open session's span must merge with min/max: it may
+    extend session_start backwards but must never shrink session_end or
+    mis-anchor the next gap check (events are only sorted within a batch,
+    not across batches)."""
+    import datetime as dt
+    import os
+    from anisearch_model_spark.streaming.stateful import (
+        closed_sessions, sessionize_stream)
+    from anisearch_model_spark.streaming.windowed import EVENT_SCHEMA
+
+    events_dir = str(tmp_path / "lt_in")
+    out_dir = str(tmp_path / "lt_out")
+    ckpt = str(tmp_path / "lt_ckpt")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [0]
+
+    def feed(specs):
+        rows = [(seq[0] + i, t0 + dt.timedelta(minutes=m), uid, "click", 1.0, None)
+                for i, (uid, m) in enumerate(specs)]
+        seq[0] += len(specs)
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(events_dir)
+        sessionize_stream(spark, events_dir, out_dir, ckpt,
+                          gap="30 minutes", late_tolerance="5 minutes")
+
+    # batch 1: session spans [8, 10]; watermark advances to 10-5=5
+    feed([(1, 8), (1, 10)])
+    # batch 2: LATE event at minute 7 (≥ watermark) — precedes the stored
+    # session start; must extend start to 7 and keep end at 10
+    feed([(1, 7)])
+    # batch 3: minute 41 — 31 min after the TRUE session end (10), so the
+    # session closes by gap; with the bug last_ms was 7 and the closed
+    # session came out as (8, 7) — end before start
+    feed([(1, 41)])
+    rows = [(r["session_start"], r["session_end"], r["n_events"])
+            for r in closed_sessions(spark, out_dir).collect()]
+    assert rows == [
+        (t0 + dt.timedelta(minutes=7), t0 + dt.timedelta(minutes=10), 3)
+    ]
+
+
 def test_append_onto_empty_base_index(spark, tmp_path):
     """Streaming append onto a 0-doc base index must work AND must not
     degenerate into one-doc buckets (the old span=n_existing//buckets

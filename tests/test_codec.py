@@ -78,6 +78,39 @@ def test_pfor_skewed_tail_uses_exceptions():
     assert len(buf) < 128 * 4
 
 
+def test_pfor_width64_values_roundtrip():
+    """Values ≥ 2^63 force width=64 — the shift-by-operand-width path that
+    is undefined in C and platform-dependent in numpy must be special-cased
+    (high = 0, no exceptions)."""
+    import warnings
+    from anisearch_model_spark.index.codec import pfor_decode, pfor_encode
+
+    vals = np.array([2**64 - 1, 2**63, 0, 12345], dtype=np.uint64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any numpy shift warning → fail
+        buf = pfor_encode(vals)
+    assert np.array_equal(pfor_decode(buf), vals)
+
+
+def test_index_store_rejects_wrong_format_version(spark, tmp_path):
+    """Legacy-index detection is an explicit stats.json version gate, not
+    a probabilistic sniff of the first payload byte (a pre-flag varint
+    buffer can legitimately start with 0x56/0x50)."""
+    import json, os
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = str(tmp_path / "ver_idx")
+    build_index(spark, gen_transcripts(spark, 50, seed=3), d, num_buckets=2)
+    IndexStore(spark, d)  # fresh build opens fine
+    stats = json.load(open(os.path.join(d, "stats.json")))
+    del stats["index_format_version"]  # what a pre-flag index looks like
+    json.dump(stats, open(os.path.join(d, "stats.json"), "w"))
+    with pytest.raises(ValueError, match="format version"):
+        IndexStore(spark, d)
+
+
 def test_flagged_codecs_mix_in_one_block_stream():
     """Buffers are self-describing: a varint block and a pfor block decode
     through the same decode_posting_block (mixed-codec index, e.g. an

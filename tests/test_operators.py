@@ -361,6 +361,47 @@ def test_asof_join_semantics(spark):
     assert pd.isna(tol.loc[102, "asof_rid"])   # 240 s old: nulled out
 
 
+def test_asof_join_row_coherent_nulls_and_subsecond_tolerance(spark):
+    """All attached columns come from the SAME matched right row: a
+    matched row whose value is genuinely NULL yields NULL (per-column
+    last(ignorenulls) would reach back to an older row's stale value),
+    and fractional-second tolerances compare at sub-second precision."""
+    import datetime as dt
+    from anisearch_model_spark.operators.asof import asof_join
+
+    t = lambda m, s=0, us=0: dt.datetime(2024, 1, 1, 0, m, s, us)
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (2, t(5, 0, 600_000), 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(1), 1, 7.0),    # older row with a non-null value
+         (1, t(9), 2, None),   # the MATCHED row — value genuinely NULL
+         (2, t(5), 3, 9.0)],   # 0.6 s before left's event 200
+        "user_id long, ts timestamp, rid long, value double",
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["rid", "value"], right_order_col="rid",
+    ).toPandas().set_index("event_id")
+    assert out.loc[100, "asof_rid"] == 2        # newest row matched
+    assert pd.isna(out.loc[100, "asof_value"])  # ...and its NULL is kept
+
+    # 0.5 s tolerance: the 0.6 s-old match must be nulled out (whole-second
+    # unix_timestamp truncation would call it 0 s old and keep it)
+    tol = asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["rid"], right_order_col="rid", tolerance_sec=0.5,
+    ).toPandas().set_index("event_id")
+    assert pd.isna(tol.loc[200, "asof_rid"])
+    # 1 s tolerance admits it
+    tol2 = asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["rid"], right_order_col="rid", tolerance_sec=1.0,
+    ).toPandas().set_index("event_id")
+    assert tol2.loc[200, "asof_rid"] == 3
+
+
 def test_ivf_index_recall_and_pruning(spark, tmp_path):
     """IVF coarse quantizer: materialized layout prunes to the probed
     list partitions, the expression path matches the index path exactly,

@@ -77,6 +77,17 @@ def test_dictionary_lookup_pushes_term_filter(spark, index_dir):
     assert idx._df_cache == before
 
 
+def test_simhash_has_single_generate(spark):
+    """simhash must not explode tokens × bits: the only Generate in the
+    plan is the token explode — the per-bit votes are conditional-sum agg
+    columns over the un-exploded relation (1/16th the shuffle)."""
+    from anisearch_model_spark.operators.dedup import simhash
+    from anisearch_model_spark.plans.inspect import generate_count
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert generate_count(simhash(d)) == 1
+
+
 def test_metadata_join_broadcasts_topk(spark, index_dir):
     from anisearch_model_spark.query.engine import IndexStore, search
 
