@@ -42,7 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=1)
-    s.add_argument("--pruned", action="store_true", help="block-max WAND scorer")
+    s.add_argument("--pruned", action="store_true",
+                   help="block-max WAND scorer (now the default; kept for "
+                        "script compatibility)")
+    s.add_argument("--exhaustive", action="store_true",
+                   help="exact exhaustive scorer — the oracle/debug "
+                        "comparator (identical results, decodes every block)")
     s.add_argument("--role", default=None,
                    help="scope to one field of a field-qualified index")
     s.add_argument("--conversations", action="store_true",
@@ -50,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default=None,
                    help="comma-separated fields: per-field scoring + "
                         "conv-level merge (reference multi-column search)")
+    s.add_argument("--no-log", action="store_true",
+                   help="skip the per-query evaluation record in "
+                        "<index>/query_log")
 
     a = sub.add_parser("append", help="incremental index append (streaming)")
     a.add_argument("--stream-dir", required=True)
@@ -81,19 +89,41 @@ def main(argv: list[str] | None = None) -> int:
             from anisearch_model_spark.query.multifield import search_conversations
 
             idx = IndexStore(spark, args.index)
+            pruned = not args.exhaustive
             if args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
                 out = search_fields(idx, args.query,
                                     args.fields.split(","), k=args.k,
-                                    page=args.page, pruned=args.pruned)
+                                    page=args.page, pruned=pruned)
             elif args.conversations:
                 out = search_conversations(idx, args.query, k=args.k,
-                                           page=args.page, pruned=args.pruned)
+                                           page=args.page, pruned=pruned)
             else:
-                out = search(idx, args.query, k=args.k, pruned=args.pruned,
+                out = search(idx, args.query, k=args.k, pruned=pruned,
                              page=args.page, role=args.role)
-            for row in out.collect():
+            import time
+
+            t0 = time.time()
+            rows = out.collect()
+            wall_ms = (time.time() - t0) * 1000.0
+            if not args.no_log:
+                import datetime as dt
+
+                from anisearch_model_spark.query.log import log_query, result_hash
+
+                log_query(
+                    spark, args.index,
+                    ts=dt.datetime.now(), query_text=args.query, k=args.k,
+                    page=args.page, field=args.role,
+                    scorer="bmw" if pruned else "exhaustive",
+                    n_results=len(rows),
+                    res_hash=result_hash(
+                        [(r["rank"], r["doc_id"], r["score"]) for r in rows]
+                    ),
+                    wall_ms=wall_ms,
+                )
+            for row in rows:
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "append":
             from anisearch_model_spark.streaming.incremental import incremental_append

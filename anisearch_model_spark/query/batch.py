@@ -85,9 +85,31 @@ def batch_topk(index: IndexStore, queries: pd.DataFrame, k: int = 10,
             ).alias("score")
         )
     )
+    # limit-FIRST: reduce each partition to its local per-query top-k
+    # (running heap across the partition's Arrow batches, k×|queries| rows
+    # of state) BEFORE the rank window — the window then sorts
+    # ≤ k × |queries| × |partitions| rows instead of every matching
+    # (query, doc) pair.  (score DESC, doc_id ASC) is a total order, so
+    # the local cut is exact, same discipline as TakeOrderedAndProject.
+    def local_topk(batches):
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            for qid, g in pdf.groupby("query_id", sort=False):
+                cur = best.get(qid)
+                m = pd.concat([cur, g], ignore_index=True) if cur is not None else g
+                best[qid] = m.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    reduced = scored.mapInPandas(
+        local_topk, schema="query_id long, doc_id long, score double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )

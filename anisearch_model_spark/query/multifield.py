@@ -79,7 +79,7 @@ def multifield_search(scored: DataFrame, key_col: str, k: int = 10,
 
 
 def search_fields(index, query_text: str, fields: list[str], k: int = 10,
-                  page: int = 1, pruned: bool = False) -> DataFrame:
+                  page: int = 1, pruned: bool = True) -> DataFrame:
     """The reference's multi-COLUMN search, end-to-end with real scoring
     (src/api.py:316-349: encode once → score each column's own matrix →
     per-column top-k → merge → dedup by entity keeping best → paginate):
@@ -118,7 +118,7 @@ def search_fields(index, query_text: str, fields: list[str], k: int = 10,
 
 
 def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
-                         pruned: bool = False) -> DataFrame:
+                         pruned: bool = True) -> DataFrame:
     """Conversation-level search: score turns with BM25, dedup by conv_id
     keeping the best turn (role = the reference's 'source_column'), rank,
     paginate.  The transcript-native analog of the reference's per-title

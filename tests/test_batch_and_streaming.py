@@ -109,6 +109,45 @@ def test_cli_build_and_search(spark, tmp_path, capsys):
     hits = [json.loads(x) for x in out[1:]]
     assert len(hits) <= 3 and all("conv_id" in h for h in hits)
 
+    # CLI search wrote one query-log record (reference S6 query half)
+    from anisearch_model_spark.query.log import read_query_log
+
+    log = read_query_log(spark, idx).toPandas()
+    assert len(log) == 1
+    assert log.loc[0, "query_text"] == "hero battle"
+    assert log.loc[0, "n_results"] == len(hits)
+    assert log.loc[0, "scorer"] == "bmw"
+
+
+def test_query_log_append_only(spark, index_dir, tmp_path):
+    """The query log is an append-only table: every logged query adds
+    exactly one row with the fixed schema; earlier rows never change."""
+    import datetime as dt
+    import shutil
+    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.log import (
+        QUERY_LOG_SCHEMA, read_query_log, timed_logged_search)
+
+    d = str(tmp_path / "qlog_idx")
+    shutil.copytree(index_dir, d)
+    idx = IndexStore(spark, d)
+    r1 = timed_logged_search(spark, idx, "hero battle", k=5)
+    r2 = timed_logged_search(spark, idx, "robot space", k=3)
+    log = read_query_log(spark, d).orderBy("ts").toPandas()
+    assert len(log) == 2
+    assert set(log.columns) == {
+        f.split()[0] for f in QUERY_LOG_SCHEMA.split(", ")
+    }
+    assert log["n_results"].tolist() == [len(r1), len(r2)]
+    assert log["k"].tolist() == [5, 3]
+    first_hash = log.loc[0, "result_hash"]
+    # identical repeat query → same result hash, third row appended
+    timed_logged_search(spark, idx, "hero battle", k=5)
+    log2 = read_query_log(spark, d).orderBy("ts").toPandas()
+    assert len(log2) == 3
+    assert log2.loc[2, "result_hash"] == first_hash
+    assert log2.loc[0, "result_hash"] == first_hash  # old row untouched
+
 
 def test_append_replay_after_midbatch_crash_is_idempotent(spark, tmp_path):
     """A crash between the doc_map append and the manifest commit leaves

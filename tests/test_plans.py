@@ -77,6 +77,20 @@ def test_dictionary_lookup_pushes_term_filter(spark, index_dir):
     assert idx._df_cache == before
 
 
+def test_df_cache_lru_bound(spark, index_dir):
+    """The dictionary cache is LRU-bounded: evicting beyond the bound
+    keeps results unchanged (evicted terms just re-fetch)."""
+    from anisearch_model_spark.query.engine import IndexStore
+
+    idx = IndexStore(spark, index_dir, df_cache_max=2)
+    full = idx.term_dfs(["hero", "battle", "magic"])  # 3 inserts → evicts
+    assert len(idx._df_cache) <= 2
+    again = idx.term_dfs(["hero", "battle", "magic"])  # re-fetch evicted
+    assert again == full and len(idx._df_cache) <= 2
+    # the most-recently-used key survived the eviction
+    assert (None, "magic") in idx._df_cache
+
+
 def test_simhash_has_single_generate(spark):
     """simhash must not explode tokens × bits: the only Generate in the
     plan is the token explode — the per-bit votes are conditional-sum agg
