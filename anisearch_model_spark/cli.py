@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--stream-dir", required=True)
     a.add_argument("--index", required=True)
 
+    c = sub.add_parser("compact", help="merge small append buckets "
+                                       "(long-lived incremental indexes)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--target-docs", type=int, default=None)
+
     g = sub.add_parser("datagen", help="write a seeded synthetic corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--n-turns", type=int, default=100_000)
@@ -130,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
 
             incremental_append(spark, args.stream_dir, args.index)
             print(json.dumps({"status": "appended"}))
+        elif args.cmd == "compact":
+            from anisearch_model_spark.index.compact import compact_index
+
+            print(json.dumps(compact_index(spark, args.index,
+                                           target_docs=args.target_docs)))
         elif args.cmd == "datagen":
             from anisearch_model_spark.datagen import write_transcripts
 

@@ -1,0 +1,170 @@
+"""Index compaction for long-lived incremental indexes.
+
+Every streaming ``append_batch`` lands its docs in NEW buckets
+(streaming/incremental.py) — after thousands of micro-batches the index
+holds thousands of tiny bucket partitions: per-bucket ``applyInPandas``
+groups shrink, task-scheduling overhead dominates, and the block-max
+per-bucket top-k merge widens.  The reference never faces this (it
+rebuilds from scratch per run, ``/root/reference/src/sbert.py:336-356``);
+a streaming deployment hits it first.
+
+Compaction is CHEAP by the build's own invariant: buckets are disjoint
+sorted doc-id ranges (index/build.py docstring — a term's global posting
+list is the bucket-ascending concatenation of its per-bucket blocks), so
+merging adjacent buckets is pure concatenation — no re-tokenize, no
+re-encode, no posting shuffle beyond moving the merged partitions.  Only
+the ``bucket`` label and the per-(term, field) ``block_id`` numbering
+change; queries return byte-identical results because neither scorer
+depends on bucket boundaries (exhaustive ignores them; block-max does a
+per-bucket top-k then a global merge, which is bucket-partition-
+independent for a total order).
+
+Plan: greedily group ADJACENT (doc-range-ascending) buckets until each
+group holds ≥ ``target_docs``; single-bucket groups are left untouched
+(zero I/O for already-full buckets — steady state rewrites only the tail
+of small append buckets).  On an Iceberg deployment this whole job is
+``rewrite_data_files``; the Parquet fallback writes merged partitions to
+a temp dir and swaps directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anisearch_model_spark.config import BM25Params
+
+
+def plan_groups(buckets: dict[str, list[int]], target_docs: int) -> list[list[int]]:
+    """Group bucket ids (adjacent in doc-range order) so every group holds
+    ≥ target_docs where possible.  Pure function — unit-testable."""
+    order = sorted(buckets, key=lambda b: buckets[b][0])
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_docs = 0
+    for b in order:
+        cur.append(int(b))
+        cur_docs += int(buckets[b][1])
+        if cur_docs >= target_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+    if cur:
+        # the undersized tail becomes its OWN group: its buckets still
+        # merge into one (slivers removed) without rewriting the adjacent
+        # full bucket; repeated append→compact cycles converge to at most
+        # one undersized bucket at the end of the range
+        groups.append(cur)
+    return groups
+
+
+def _swap_partitions(spark, df, table_dir: str, partition_by: list[str],
+                     old_buckets: list[int], tmp_dir: str) -> None:
+    """Write ``df`` partitioned into ``tmp_dir``, delete the old bucket
+    dirs, move the new ones in — the Parquet-fallback equivalent of an
+    Iceberg rewrite commit (never overwrite a path being read from)."""
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_dir)
+    for b in old_buckets:
+        shutil.rmtree(os.path.join(table_dir, f"bucket={b}"), ignore_errors=True)
+    for entry in os.listdir(tmp_dir):
+        if entry.startswith("bucket="):
+            os.rename(os.path.join(tmp_dir, entry),
+                      os.path.join(table_dir, entry))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  target_docs: int | None = None,
+                  params: BM25Params | None = None) -> dict:
+    """Merge small adjacent buckets so the index holds full-size buckets.
+
+    ``target_docs``: minimum docs per merged bucket (default: the mean
+    bucket size a fresh ``build_index`` of the current corpus would pick,
+    n_docs / num_buckets of the base build, floored at 1).
+    Returns {buckets_before, buckets_after, groups_rewritten}.
+    """
+    from anisearch_model_spark.index.build import POSTINGS_SCHEMA
+    from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
+    from anisearch_model_spark.index.store import finalize_metadata
+
+    params = params or BM25Params()
+    with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    buckets = manifest["buckets"]
+    n_docs = sum(int(c) for _o, c in buckets.values())
+    if target_docs is None:
+        # the BASE build's bucket count (manifest — appends never touch it;
+        # stats.num_buckets tracks the current fragmented count and would
+        # make the target shrink as fragmentation grows)
+        base_buckets = int(manifest.get("num_buckets") or stats.get("num_buckets", 32))
+        target_docs = max(n_docs // max(base_buckets, 1), 1)
+
+    groups = plan_groups(buckets, int(target_docs))
+    rewrite = [g for g in groups if len(g) > 1]
+    before = len(buckets)
+
+    for group in rewrite:
+        new_id = min(group)
+        span_lo = min(int(buckets[str(b)][0]) for b in group)
+        span_n = sum(int(buckets[str(b)][1]) for b in group)
+
+        postings = (
+            spark.read.schema(POSTINGS_SCHEMA)
+            .parquet(os.path.join(index_dir, "postings"))
+            .filter(F.col("bucket").isin(group))
+        )
+        # concatenation in doc order: renumber block_id per (term, field)
+        # by first_doc_id (blocks are disjoint sorted ranges — no decode)
+        w = Window.partitionBy("term", "field").orderBy("first_doc_id")
+        merged = (
+            postings.withColumn("block_id",
+                                (F.row_number().over(w) - 1).cast("int"))
+            .withColumn("bucket", F.lit(int(new_id)).cast("int"))
+        )
+        _swap_partitions(spark, merged, os.path.join(index_dir, "postings"),
+                         ["bucket", "field"], group,
+                         os.path.join(index_dir, "_compact_tmp_postings"))
+
+        doc_map = (
+            spark.read.schema(BUCKETED_SCHEMA)
+            .parquet(os.path.join(index_dir, "doc_map"))
+            .filter(F.col("bucket").isin(group))
+            .withColumn("bucket", F.lit(int(new_id)).cast("int"))
+        )
+        _swap_partitions(spark, doc_map, os.path.join(index_dir, "doc_map"),
+                         ["bucket"], group,
+                         os.path.join(index_dir, "_compact_tmp_docmap"))
+
+        for b in group:
+            del buckets[str(b)]
+        buckets[str(new_id)] = [span_lo, span_n]
+
+    if rewrite:
+        manifest["buckets"] = buckets
+        with open(os.path.join(index_dir, "manifest.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        # mark merged buckets done so a later resumable build skips them
+        from anisearch_model_spark.index.store import CHECKPOINT_SCHEMA
+
+        rows = [(int(min(g)), "done", 0, 0, 0, 1.0, "compaction", time.time())
+                for g in rewrite]
+        spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode(
+            "append").parquet(os.path.join(index_dir, "checkpoints"))
+        finalize_metadata(
+            spark, index_dir, n_docs, params, num_buckets=len(buckets),
+            field_col=stats.get("field_col"), codec=stats.get("codec", "varint"),
+        )
+    return {
+        "buckets_before": before,
+        "buckets_after": len(buckets),
+        "groups_rewritten": len(rewrite),
+    }

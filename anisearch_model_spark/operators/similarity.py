@@ -70,6 +70,15 @@ def cosine_topk(
     )
 
 
+# above this many embedded plan literals (dim × planes, or dim × lists)
+# the expression form stops being sane: Catalyst compiles every
+# coefficient into the projection (plan bloat, codegen limits), so the
+# vectorized Arrow kernel with the matrix riding in the closure takes over.
+# The literal path stays the default at test dims — it is what makes the
+# DuckDB oracle mirror possible.
+_MAX_PLAN_LITERALS = 4096
+
+
 def _md5_sign(salt: str, p: int, i: int) -> float:
     """±1 Rademacher coefficient derived from md5 — deterministic AND
     reproducible in ANY engine with an md5 function (the same trick that
@@ -116,8 +125,44 @@ class RandomHyperplaneLSH:
             bucket = bucket + bit * F.lit(int(2**p))
         return bucket.cast("int")
 
-    def transform(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-        return df.withColumn("bucket", self._bucket_expr(vec_col))
+    def transform(self, df: DataFrame, vec_col: str = "embedding",
+                  use_pandas: bool | None = None) -> DataFrame:
+        """Attach the sign-LSH ``bucket``.  At real embedding dims the
+        expression form would embed dim × n_planes literals into the plan
+        (768 × 8 = 6k coefficients compiled into one projection), so past
+        ``_MAX_PLAN_LITERALS`` the bucket is computed by a vectorized
+        Arrow kernel with the plane matrix in the task closure — same
+        buckets, constant-size plan.  ``use_pandas`` forces either path
+        (tests assert their equivalence)."""
+        if use_pandas is None:
+            use_pandas = self.dim * self.n_planes > _MAX_PLAN_LITERALS
+        if not use_pandas:
+            return df.withColumn("bucket", self._bucket_expr(vec_col))
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        planes_t = self.planes.T.copy()  # (dim, n_planes)
+        weights = (1 << np.arange(self.n_planes)).astype(np.int64)
+        # fresh StructType: StructType.add MUTATES the frame's cached schema
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField("bucket", IntegerType())]
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf) == 0:
+                    pdf["bucket"] = np.array([], dtype="int32")
+                    yield pdf
+                    continue
+                v = np.array(
+                    [np.asarray(x, dtype="float64") for x in pdf[vec_col]]
+                )
+                signs = (v @ planes_t) >= 0
+                pdf["bucket"] = (signs * weights).sum(axis=1).astype("int32")
+                yield pdf
+
+        return df.mapInPandas(kernel, schema=out_schema)
 
     def query_bucket(self, query_vec: list[float]) -> int:
         signs = (self.planes @ np.asarray(query_vec, dtype="float64")) >= 0
@@ -217,10 +262,46 @@ class IVFIndex:
         self.centroids = list(enumerate(cents))
 
     def _assign(self, df: DataFrame, cents: list[list[float]], id_col: str,
-                vec_col: str) -> DataFrame:
+                vec_col: str, use_pandas: bool | None = None) -> DataFrame:
         """argmax-cosine list assignment (ties → lowest list_id), JVM-side:
-        one array_max over the per-centroid cosine array."""
+        one array_max over the per-centroid cosine array.  Past
+        ``_MAX_PLAN_LITERALS`` (dim × n_lists) the assignment runs as a
+        vectorized Arrow kernel with the centroid matrix in the closure —
+        identical list ids (same 6-dp half-up rounding, same first-max
+        tie-break), constant-size plan."""
         import math
+
+        dim = len(cents[0]) if cents else 0
+        if use_pandas is None:
+            use_pandas = dim * len(cents) > _MAX_PLAN_LITERALS
+        if use_pandas:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            c_mat = np.array(cents, dtype="float64")  # (n_lists, dim)
+            c_norm = np.array([math.sqrt(_seqdot(c, c)) for c in cents])
+            out_schema = StructType(
+                list(df.schema.fields) + [StructField("list_id", IntegerType())]
+            )
+
+            def kernel(batches):
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    if len(pdf) == 0:
+                        pdf["list_id"] = np.array([], dtype="int32")
+                        yield pdf
+                        continue
+                    v = np.array(
+                        [np.asarray(x, dtype="float64") for x in pdf[vec_col]]
+                    )
+                    vn = np.sqrt((v * v).sum(axis=1))
+                    cos = (v @ c_mat.T) / (vn[:, None] * c_norm[None, :])
+                    # Spark ROUND is HALF_UP (away from zero) — replicate
+                    # exactly so the boundary ties match the literal path
+                    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                    pdf["list_id"] = cos.argmax(axis=1).astype("int32")
+                    yield pdf
+
+            return df.mapInPandas(kernel, schema=out_schema)
 
         emb = _as_double(F.col(vec_col))
         norm = F.sqrt(_dot(emb, emb))

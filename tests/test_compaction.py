@@ -1,0 +1,89 @@
+"""Index compaction: N streaming appends → tiny buckets → compact →
+byte-identical query results with bucket count back at the target."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def test_plan_groups_merges_adjacent_and_tail():
+    from anisearch_model_spark.index.compact import plan_groups
+
+    buckets = {"0": [0, 100], "1": [100, 100], "2": [200, 10], "3": [210, 10],
+               "4": [220, 10], "5": [230, 5]}
+    groups = plan_groups(buckets, 100)
+    # full buckets stay singletons; the small tail folds into one group
+    assert groups[0] == [0] and groups[1] == [1]
+    assert groups[2] == [2, 3, 4, 5]  # 35 docs < target → tail-folded
+    # ordering is by doc range, not by id value
+    shuffled = {"7": [200, 50], "3": [0, 50], "9": [100, 50]}
+    assert plan_groups(shuffled, 100) == [[3, 9], [7]]
+
+
+def test_compaction_preserves_results_and_shrinks_buckets(spark, tmp_path):
+    from anisearch_model_spark.config import BM25Params
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.compact import compact_index
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import (
+        IndexStore, topk_bmw, topk_exhaustive)
+    from anisearch_model_spark.streaming.incremental import _append_batch
+
+    full_pdf = gen_transcripts_pandas(2400, seed=77)
+    convs = sorted(full_pdf["conv_id"].unique())
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "cmp_idx")
+
+    # base build over the first half, then 4 micro-appends of the rest —
+    # each append lands in NEW buckets, so the bucket count balloons
+    cuts = [convs[len(convs) // 2], convs[len(convs) * 5 // 8],
+            convs[len(convs) * 3 // 4], convs[len(convs) * 7 // 8]]
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cuts[0]], schema), d, num_buckets=4)
+    slices = [
+        full_pdf[(full_pdf["conv_id"] >= a) & (full_pdf["conv_id"] < b)]
+        for a, b in zip(cuts, cuts[1:] + [chr(0x10FFFF)])
+    ]
+    for s in slices:
+        _append_batch(spark, spark.createDataFrame(s, schema), d, BM25Params())
+
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    n_before = len(manifest["buckets"])
+    assert n_before > 4  # appends created extra buckets
+
+    idx = IndexStore(spark, d)
+    queries = ["hero battle magic", "robot space pirate", "term0042 dragon"]
+    want = {q: topk_exhaustive(idx, q, 10).toPandas() for q in queries}
+
+    out = compact_index(spark, d)
+    assert out["buckets_before"] == n_before
+    assert out["buckets_after"] <= 5  # back near the base target
+    assert out["buckets_after"] < n_before
+
+    after = IndexStore(spark, d)
+    assert after.stats["n_docs"] == idx.stats["n_docs"]
+    for q in queries:
+        for fn in (topk_exhaustive, topk_bmw):
+            got = fn(after, q, 10).toPandas()
+            assert got["doc_id"].tolist() == want[q]["doc_id"].tolist(), q
+            np.testing.assert_array_equal(
+                got["score"].to_numpy(), want[q]["score"].to_numpy())
+
+    # doc_map content unchanged (only the bucket label moved)
+    dm = after.doc_map.select("doc_id", "conv_id", "turn_idx").toPandas()
+    assert len(dm) == 2400 and dm["doc_id"].is_unique
+
+    # idempotent: a second compaction finds nothing to rewrite
+    out2 = compact_index(spark, d)
+    assert out2["groups_rewritten"] == 0
+    assert out2["buckets_after"] == out["buckets_after"]
+
+    # and the compacted index keeps accepting appends
+    extra = gen_transcripts_pandas(2600, seed=77).iloc[2400:]
+    _append_batch(spark, spark.createDataFrame(extra, schema), d, BM25Params())
+    idx3 = IndexStore(spark, d)
+    assert idx3.stats["n_docs"] == 2600
+    assert topk_exhaustive(idx3, "hero battle", 5).count() > 0

@@ -402,6 +402,54 @@ def test_asof_join_row_coherent_nulls_and_subsecond_tolerance(spark):
     assert tol2.loc[200, "asof_rid"] == 3
 
 
+def test_ann_high_dim_pandas_path_matches_literal_path(spark, tmp_path):
+    """At real embedding dims (768) the LSH/IVF assignment switches to a
+    broadcast-matrix Arrow kernel: buckets/list ids must be IDENTICAL to
+    the literal-expression path, and the plan must not embed dim × planes
+    literal coefficients."""
+    import numpy as np
+    from anisearch_model_spark.operators.similarity import (
+        _MAX_PLAN_LITERALS, IVFIndex, RandomHyperplaneLSH)
+    from anisearch_model_spark.plans.inspect import formatted_plan
+
+    dim, n = 768, 120
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim)).astype("float64")
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, vecs))})
+    # parquet-backed (a local relation would constant-fold the literal
+    # projection away and hide the plan-bloat this test measures)
+    src = str(tmp_path / "highdim.parquet")
+    spark.createDataFrame(pdf, "vec_id long, embedding array<double>").write.parquet(src)
+    df = spark.read.parquet(src)
+
+    lsh = RandomHyperplaneLSH(dim=dim, n_planes=8, seed=7)
+    assert dim * lsh.n_planes > _MAX_PLAN_LITERALS  # auto-switch territory
+    lit = {r["vec_id"]: r["bucket"]
+           for r in lsh.transform(df, use_pandas=False).collect()}
+    pan = {r["vec_id"]: r["bucket"]
+           for r in lsh.transform(df, use_pandas=True).collect()}
+    auto = {r["vec_id"]: r["bucket"] for r in lsh.transform(df).collect()}
+    assert lit == pan == auto
+    # constant-size plan: the kernel plan is orders of magnitude smaller
+    # than the literal plan (which embeds 6144 coefficients)
+    lit_plan = formatted_plan(lsh.transform(df, use_pandas=False))
+    pan_plan = formatted_plan(lsh.transform(df, use_pandas=True))
+    assert len(pan_plan) < len(lit_plan) / 10
+
+    ivf = IVFIndex(n_lists=8, nprobe=2)
+    ivf._fit_centroids(df, "vec_id", "embedding")
+    cents = [c for _j, c in ivf.centroids]
+    lit_a = {r["vec_id"]: r["list_id"]
+             for r in ivf._assign(df, cents, "vec_id", "embedding",
+                                  use_pandas=False).collect()}
+    pan_a = {r["vec_id"]: r["list_id"]
+             for r in ivf._assign(df, cents, "vec_id", "embedding",
+                                  use_pandas=True).collect()}
+    auto_a = {r["vec_id"]: r["list_id"]
+              for r in ivf._assign(df, cents, "vec_id", "embedding").collect()}
+    assert lit_a == pan_a == auto_a
+
+
 def test_ivf_index_recall_and_pruning(spark, tmp_path):
     """IVF coarse quantizer: materialized layout prunes to the probed
     list partitions, the expression path matches the index path exactly,
