@@ -40,15 +40,22 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
-    """Materialize the (small) pair result eagerly, truncating its lineage,
-    then release the big cached token relation — the cache must not leak
-    executor storage across repeated dedup runs in one session.  The
-    localCheckpoint blocks hold only |pairs| rows and are freed by Spark's
-    ContextCleaner when the returned DataFrame is garbage-collected."""
-    out = out.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
+# the token relation is cached because three plan branches read it (hash
+# signatures, candidate bands, verify); the cache must not LEAK executor
+# storage across repeated dedup runs in one session, so each run releases
+# the previous run's cache (≤1 resident at a time).  Unpersisting a frame
+# some old plan still references is safe — Spark just recomputes it.
+# (Eagerly materializing the result instead — localCheckpoint — executes
+# the plan through the RDD path, losing AQE: measured 4× slower at sf0.1.)
+_token_caches: list[DataFrame] = []
+
+
+def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    while _token_caches:
+        _token_caches.pop().unpersist()
+    toks = _tokens(df, id_col, text_col).cache()
+    _token_caches.append(toks)
+    return toks
 
 
 def _verify_jaccard(cand: DataFrame, toks: DataFrame, sizes: DataFrame,
@@ -111,7 +118,7 @@ def jaccard_pairs(
     never enter the join, which is the skew story at 100 TB.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4dp.
     """
-    toks = _tokens(df, id_col, text_col).cache()
+    toks = _fresh_token_cache(df, id_col, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     tok_df = toks.groupBy("token").agg(F.count("*").alias("token_df"))
     rare = toks.join(
@@ -126,7 +133,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    return _materialize_release(_verify_jaccard(cand, toks, sizes, threshold), toks)
+    return _verify_jaccard(cand, toks, sizes, threshold)
 
 
 def minhash_signature_arrays(
@@ -195,7 +202,7 @@ def minhash_lsh_pairs(
     and the verify stage explodes; 4-hash bands keep it linear-ish while
     still catching true near-dups (P(caught | s=0.8) ≈ 0.9).
     """
-    toks = _tokens(df, id_col, text_col).cache()
+    toks = _fresh_token_cache(df, id_col, text_col)
     sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, toks=toks)
     # ceil: a num_hashes not divisible by band_size emits a final PARTIAL
     # band (the `i // band_size` grouping) instead of silently dropping the
@@ -223,7 +230,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    return _materialize_release(_verify_jaccard(cand, toks, sizes, threshold), toks)
+    return _verify_jaccard(cand, toks, sizes, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

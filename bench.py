@@ -126,6 +126,19 @@ def main() -> None:
     _noop_write(topk_bmw(bmw_idx, "hero", 10, decode_counter=acc))
     bmw_decoded, bmw_total = int(acc.value), int(total_blocks)
 
+    # worst-case pruning micro-bench: every term hot (all 20k filler docs
+    # share w0..w6 + w2 w3), so block-max bounds barely discriminate and
+    # nearly every surviving doc hits the heap-admission path — the case
+    # the vectorized argpartition admission exists for
+    from anisearch_model_spark.query.engine import topk_exhaustive
+
+    t0 = time.time()
+    _noop_write(topk_bmw(bmw_idx, "w2 w3 hero", 10))
+    hot_bmw = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop_write(topk_exhaustive(bmw_idx, "w2 w3 hero", 10))
+    hot_exh = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -141,6 +154,8 @@ def main() -> None:
                 "cpus": cpus,
                 "bmw_blocks_decoded": bmw_decoded,
                 "bmw_blocks_total": bmw_total,
+                "bmw_hot_query_sec": hot_bmw,
+                "exhaustive_hot_query_sec": hot_exh,
             }
         )
     )
