@@ -351,6 +351,33 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def events_asof_tolerance(spark, sf_dir):
+    """As-of join with a 6-hour tolerance: matches older than the window
+    are nulled out.  Exercises the row-coherent struct carry (every
+    attached column AND the tolerance anchor come from the same matched
+    right row) and sub-second timestamp arithmetic (events carry
+    microsecond timestamps; the comparison is on epoch doubles)."""
+    from anisearch_model_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, errors, on="ts", by=["user_id"],
+        value_cols=["event_id", "value"], right_order_col="event_id",
+        tolerance_sec=21600.0, prefix="err_",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("err_event_id").cast("long").alias("err_event_id"),
+        F.round("err_value", 4).alias("err_value"),
+    )
+
+
 def events_window_agg(spark, sf_dir):
     """Tumbling 1-day window aggregation per event type."""
     e = _t(spark, sf_dir, "events")
@@ -579,6 +606,59 @@ def bm25_topk_documents(spark, sf_dir):
     )
 
 
+_BATCH_QUERY_TERMS = {1: ("spark", "join"), 2: ("window", "filter"),
+                      3: ("query", "spark")}
+
+
+def bm25_batch_topk(spark, sf_dir):
+    """Batch query-set evaluation (query/batch.py semantics): MANY queries
+    scored in ONE pass over the corpus — the tf/df/dl relation is computed
+    once, the tiny (query_id, token) table broadcasts onto it, and ranking
+    is per query.  The posting-list engine path of the same semantics
+    (postings read once for N queries) is pytest-covered
+    (test_batch_topk_matches_single_query); this entry SQL-mirrors the
+    scoring so the oracle checks the batch semantics end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
+    )
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BATCH_QUERY_TERMS.items() for t in ts],
+        "query_id long, token string",
+    )
+    scored = (
+        tf2.join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -687,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_window_agg": events_window_agg,
         "events_asof_join": events_asof_join,
+        "events_asof_tolerance": events_asof_tolerance,
         "tx_token_count": tx_token_count,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
@@ -702,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf": sim_ivf,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
         "multimodal_features": multimodal_features,
     }
@@ -950,6 +1032,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, err_event_id,
                    round(err_val, 4)::double AS err_value
             FROM w WHERE side = 1
+        """,
+        "events_asof_tolerance": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, 1 AS side, NULL::bigint AS ord,
+                     CAST(NULL AS STRUCT(mts TIMESTAMP, eid BIGINT, val DOUBLE)) AS r
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, event_id, 0 AS side, event_id AS ord,
+                     {'mts': ts, 'eid': event_id, 'val': value} AS r
+              FROM events WHERE event_type = 'error'),
+            w AS (
+              SELECT *, last_value(r IGNORE NULLS) OVER win AS m
+              FROM u
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts, side, ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            tol AS (
+              SELECT event_id, user_id,
+                     CASE WHEN extract(epoch FROM ts)
+                               - extract(epoch FROM (m).mts) <= 21600
+                          THEN m END AS m
+              FROM w WHERE side = 1)
+            SELECT event_id, user_id, (m).eid AS err_event_id,
+                   round((m).val, 4)::double AS err_value
+            FROM tol
         """,
         "tx_token_count": """
             SELECT doc_id,
@@ -1255,6 +1362,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_batch_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qs(query_id, token) AS (VALUES
+              (1, 'spark'), (1, 'join'),
+              (2, 'window'), (2, 'filter'),
+              (3, 'query'), (3, 'spark')),
+            scored AS (
+              SELECT qs.query_id, tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))) AS s
+              FROM tf JOIN qs USING (token)
+              JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              GROUP BY qs.query_id, tf.doc_id),
+            ranked AS (
+              SELECT query_id::bigint AS query_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(s, 4) DESC, doc_id ASC)
+                       ::bigint AS rank,
+                     doc_id, round(s, 4)::double AS score
+              FROM scored)
+            SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 5
         """,
         "dedup_embedding": """
             WITH coef AS (

@@ -97,9 +97,14 @@ def asof_join(
     if tolerance_sec is not None:
         # cast-to-double keeps sub-second precision (unix_timestamp
         # truncates to whole seconds); the anchor is the matched row's own
-        # `on`, so tolerance and values always agree on which row matched
+        # `on`, so tolerance and values always agree on which row matched.
+        # TIMESTAMP_NTZ has no direct double cast — route through
+        # TIMESTAMP (same session-tz shift on both sides, so it cancels)
+        def _epoch(c):
+            return c.cast("timestamp").cast("double")
+
         in_tol = (
-            F.col(on).cast("double") - matched["_on"].cast("double")
+            _epoch(F.col(on)) - _epoch(matched["_on"])
         ) <= F.lit(float(tolerance_sec))
         matched = F.when(in_tol, F.col("_m"))
     for c in vals:
