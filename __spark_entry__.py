@@ -480,6 +480,17 @@ def dedup_embedding(spark, sf_dir):
     return cosine_near_dup_pairs(e, dim=64, threshold=0.3, n_planes=8, seed=42)
 
 
+def dedup_minhash_shingle(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over word 3-gram SHINGLES — the classic
+    shingle->minhash->band->bucket-join pipeline (token sets call any
+    reordering of the same words a dup; shingles keep local word order)."""
+    from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8,
+                             shingle_size=3)
+
+
 def dedup_simhash(spark, sf_dir):
     from anisearch_model_spark.operators.dedup import simhash
 
@@ -776,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash": dedup_minhash,
+        "dedup_minhash_shingle": dedup_minhash_shingle,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "a5_corpus_stats": a5_corpus_stats,
@@ -1161,6 +1173,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": f"""
             WITH {toks_cte},
+            sig AS (
+              SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
+              FROM toks CROSS JOIN range(16) r(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, (i // 4)::int AS band,
+                     md5(string_agg(minhash, '' ORDER BY i)) AS band_key
+              FROM sig GROUP BY doc_id, (i // 4)::int),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM toks x JOIN toks y USING (token)
+              JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.n_tokens + sb.n_tokens - inter), 4)::double AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8
+        """,
+        "dedup_minhash_shingle": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+                         '\\s+'),
+                       x -> length(x) > 0) AS w
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS token
+              FROM ws, unnest(range(1, len(w) - 1)) AS i(i)
+              WHERE len(w) >= 3),
             sig AS (
               SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
               FROM toks CROSS JOIN range(16) r(i)

@@ -28,13 +28,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct lowercase word tokens per doc."""
-    toks = F.array_distinct(
-        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " "), r"\s+")
+def _tokens(df: DataFrame, id_col: str, text_col: str,
+            shingle_size: int = 1) -> DataFrame:
+    """Distinct lowercase word tokens per doc; ``shingle_size`` > 1 emits
+    word n-gram SHINGLES (space-joined) instead — the classic MinHash unit
+    (token sets treat any permutation of the same words as a dup; 3-gram
+    shingles keep local word order, the standard near-dup definition)."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9\s]", " "),
+        r"\s+",
     )
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    if shingle_size > 1:
+        n = shingle_size
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in
+        # Spark, so short docs (< n words) get an explicit empty array
+        units = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        units = words
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(units)).alias("token"),
+        )
         .filter(F.length("token") > 0)
         .distinct()
     )
@@ -50,10 +74,11 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 _token_caches: list[DataFrame] = []
 
 
-def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str,
+                       shingle_size: int = 1) -> DataFrame:
     while _token_caches:
         _token_caches.pop().unpersist()
-    toks = _tokens(df, id_col, text_col).cache()
+    toks = _tokens(df, id_col, text_col, shingle_size).cache()
     _token_caches.append(toks)
     return toks
 
@@ -188,6 +213,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.8,
+    shingle_size: int = 1,
 ) -> DataFrame:
     """MinHash → LSH band buckets → candidate pairs → exact-Jaccard verify.
 
@@ -202,7 +228,7 @@ def minhash_lsh_pairs(
     and the verify stage explodes; 4-hash bands keep it linear-ish while
     still catching true near-dups (P(caught | s=0.8) ≈ 0.9).
     """
-    toks = _fresh_token_cache(df, id_col, text_col)
+    toks = _fresh_token_cache(df, id_col, text_col, shingle_size)
     sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, toks=toks)
     # ceil: a num_hashes not divisible by band_size emits a final PARTIAL
     # band (the `i // band_size` grouping) instead of silently dropping the

@@ -57,6 +57,25 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_shingles_distinguish_word_order(spark):
+    """3-gram shingles keep local word order: a doc that reuses the same
+    words in a different order is NOT a near-dup under shingles (token
+    sets would call it identical, jaccard=1)."""
+    from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reordered = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    rows = [(1, base), (2, base + " lambda"), (3, reordered)]
+    tok = minhash_lsh_pairs(_docs(spark, rows), threshold=0.5).toPandas()
+    tok_pairs = set(zip(tok["doc_a"], tok["doc_b"]))
+    assert (1, 3) in tok_pairs  # token sets: reorder == dup
+    sh = minhash_lsh_pairs(_docs(spark, rows), threshold=0.5,
+                           shingle_size=3).toPandas()
+    sh_pairs = set(zip(sh["doc_a"], sh["doc_b"]))
+    assert (1, 2) in sh_pairs      # true near-dup still found
+    assert (1, 3) not in sh_pairs  # reordering is no longer a dup
+
+
 def test_simhash_identical_docs_same_hash(spark):
     from anisearch_model_spark.operators.dedup import simhash
 
