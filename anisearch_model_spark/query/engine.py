@@ -57,6 +57,7 @@ class IndexStore:
 
         self._df_cache: OrderedDict[tuple[str | None, str], int | None] = OrderedDict()
         self._df_cache_max = df_cache_max or self.DF_CACHE_MAX
+        self._ranges: list[tuple[int, int, int]] | None = None  # manifest doc ranges
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
         from anisearch_model_spark.index.store import INDEX_FORMAT_VERSION
@@ -105,6 +106,28 @@ class IndexStore:
         while len(self._df_cache) > self._df_cache_max:
             self._df_cache.popitem(last=False)
         return out
+
+    def buckets_for(self, doc_ids: list[int]) -> list[int]:
+        """Bucket ids whose doc-range covers any of ``doc_ids`` (manifest
+        ranges, driver-side) — lets a metadata probe prune the doc_map
+        scan to the few bucket partitions actually holding hits."""
+        if self._ranges is None:
+            with open(os.path.join(self.index_dir, "manifest.json"),
+                      encoding="utf-8") as f:
+                manifest = json.load(f)
+            self._ranges = sorted(
+                (int(first), int(first) + int(count), int(b))
+                for b, (first, count) in manifest["buckets"].items()
+            )
+        import bisect
+
+        starts = [r[0] for r in self._ranges]
+        out = set()
+        for d in doc_ids:
+            i = bisect.bisect_right(starts, int(d)) - 1
+            if i >= 0 and self._ranges[i][0] <= int(d) < self._ranges[i][1]:
+                out.add(self._ranges[i][2])
+        return sorted(out)
 
     def field_stats(self, field: str | None) -> tuple[int, float]:
         """(n_docs, avgdl) of the whole corpus or one field's sub-corpus."""
@@ -394,6 +417,36 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     )
 
 
+def probe_doc_map(index: IndexStore, top: DataFrame, meta_cols: list[str],
+                  meta_filter=None) -> tuple[DataFrame, DataFrame]:
+    """Turn a (tiny, ≤ pages·k) ranked candidate frame into a PRUNED
+    doc_map probe: collect the candidates, map their doc_ids to bucket
+    partitions via the manifest (driver-side range lookup), and filter the
+    doc_map scan to those buckets + ids.
+
+    Without this, every query's metadata join scans the WHOLE doc_map to
+    probe a handful of rows — at corpus scale that is a full-table read
+    per query.  With it the scan shows a PartitionFilter on bucket plus a
+    pushed doc_id IN filter, so only the few bucket directories holding
+    hits are opened (same discipline as the filtered dictionary lookup).
+    Returns (local candidate frame, pruned metadata frame)."""
+    rows = top.collect()
+    spark = index.spark
+    top_local = spark.createDataFrame(rows, top.schema) if rows else \
+        spark.createDataFrame([], top.schema)
+    meta = index.doc_map
+    if meta_filter is not None:
+        meta = meta.filter(meta_filter)
+    ids = [int(r["doc_id"]) for r in rows]
+    if ids:
+        meta = meta.filter(
+            F.col("bucket").isin(index.buckets_for(ids))
+        ).filter(F.col("doc_id").isin(ids))
+    else:
+        meta = meta.filter(F.lit(False))
+    return top_local, meta.select(*meta_cols)
+
+
 def search(index: IndexStore, query_text: str, k: int = 10,
            params: BM25Params | None = None, pruned: bool = True,
            with_metadata: bool = True, page: int = 1,
@@ -420,10 +473,13 @@ def search(index: IndexStore, query_text: str, k: int = 10,
         top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
     if not with_metadata:
         return top
-    meta = index.doc_map.select("doc_id", "conv_id", "turn_idx", "role")
-    # top is k rows — broadcast it so the metadata probe never shuffles doc_map
+    # collect the k-row top, prune the doc_map scan to its buckets + ids
+    # (partition pruning + pushed IN filter), broadcast the tiny side
+    top_local, meta = probe_doc_map(
+        index, top, ["doc_id", "conv_id", "turn_idx", "role"]
+    )
     return (
-        meta.join(F.broadcast(top), "doc_id", "inner")
+        meta.join(F.broadcast(top_local), "doc_id", "inner")
         .select("rank", "doc_id", "conv_id", "turn_idx", "role", "score")
         .orderBy("rank")
     )

@@ -96,7 +96,8 @@ def search_fields(index, query_text: str, fields: list[str], k: int = 10,
     """
     from functools import reduce
 
-    from anisearch_model_spark.query.engine import IndexStore, topk_bmw, topk_exhaustive
+    from anisearch_model_spark.query.engine import (
+        IndexStore, probe_doc_map, topk_bmw, topk_exhaustive)
 
     assert isinstance(index, IndexStore) and fields
     fn = topk_bmw if pruned else topk_exhaustive
@@ -107,9 +108,11 @@ def search_fields(index, query_text: str, fields: list[str], k: int = 10,
         )
         for f in fields
     ]
-    cands = reduce(lambda a, b: a.unionByName(b), per_field)
-    meta = index.doc_map.select("doc_id", "conv_id")
-    cands = cands.join(meta, "doc_id")
+    all_cands = reduce(lambda a, b: a.unionByName(b), per_field)
+    # collect the |fields|·cand_k candidates, prune the doc_map probe to
+    # their bucket partitions (never a full doc_map scan per query)
+    cands, meta = probe_doc_map(index, all_cands, ["doc_id", "conv_id"])
+    cands = cands.join(F.broadcast(meta), "doc_id")
     best = dedup_best(cands, "conv_id", score_col="score", field_col="field",
                       id_col="doc_id")
     return rank_and_paginate(best, page, k, "score", "doc_id").select(
@@ -123,7 +126,8 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
     keeping the best turn (role = the reference's 'source_column'), rank,
     paginate.  The transcript-native analog of the reference's per-title
     dedup (src/api.py:427-455)."""
-    from anisearch_model_spark.query.engine import IndexStore, topk_bmw, topk_exhaustive
+    from anisearch_model_spark.query.engine import (
+        IndexStore, probe_doc_map, topk_bmw, topk_exhaustive)
 
     assert isinstance(index, IndexStore)
     # over-fetch turns before conv-dedup; the pool scales WITH the page so
@@ -134,11 +138,13 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
     # blank-turn skip BEFORE dedup (reference src/api.py:427-455 drops
     # blank-synopsis rows before title dedup).  BM25 can't surface a
     # zero-token doc today, but the guard keeps the dedup contract honest
-    # for any scorer variant that could (metadata boosts, embeddings)
-    meta = index.doc_map.filter(
-        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
-    ).select("doc_id", "conv_id", "turn_idx", "role")
-    cands = top_turns.join(meta, "doc_id")
+    # for any scorer variant that could (metadata boosts, embeddings).
+    # The probe prunes the doc_map scan to the candidates' buckets + ids.
+    cands, meta = probe_doc_map(
+        index, top_turns, ["doc_id", "conv_id", "turn_idx", "role"],
+        meta_filter=F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+    )
+    cands = cands.join(F.broadcast(meta), "doc_id")
     best = dedup_best(cands, "conv_id", score_col="score", field_col="role",
                       id_col="doc_id")
     return rank_and_paginate(best.drop("rank"), page, k, "score", "doc_id").select(

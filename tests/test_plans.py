@@ -108,3 +108,16 @@ def test_metadata_join_broadcasts_topk(spark, index_dir):
     idx = IndexStore(spark, index_dir)
     q = search(idx, "hero battle", k=5)
     assert uses_broadcast_join(q)
+
+
+def test_metadata_probe_prunes_doc_map_partitions(spark, index_dir):
+    """search()'s metadata join must never scan the whole doc_map for a
+    k-row probe: the candidates' buckets become a PartitionFilter and the
+    doc_ids a pushed IN filter on the scan."""
+    from anisearch_model_spark.plans.inspect import has_partition_filter
+    from anisearch_model_spark.query.engine import IndexStore, search
+
+    idx = IndexStore(spark, index_dir)
+    q = search(idx, "hero battle", k=5)
+    assert has_partition_filter(q, "bucket")
+    assert has_pushed_filter(q, "doc_id")
