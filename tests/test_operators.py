@@ -421,6 +421,65 @@ def test_asof_join_row_coherent_nulls_and_subsecond_tolerance(spark):
     assert tol2.loc[200, "asof_rid"] == 3
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),
+    min_size=1, max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50),
+              st.one_of(st.none(), st.floats(-5, 5, allow_nan=False))),
+    max_size=12,
+)
+
+
+@given(left_rows=_asof_left, right_rows=_asof_right,
+       tol=st.one_of(st.none(), st.integers(0, 20)))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
+    """Differential test vs the documented reference semantic
+    (pandas merge_asof, backward inclusive): random frames, duplicate
+    instants, genuine NULL right values, optional tolerance.  Our
+    max(right_order_col) tie-break equals merge_asof's last-row-wins once
+    the right side is sorted by (on, order_col)."""
+    from anisearch_model_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(left_rows, columns=["user_id", "ts"])
+    left["event_id"] = range(len(left))
+    right = pd.DataFrame(right_rows, columns=["user_id", "ts", "value"])
+    right["rid"] = range(len(right))
+    right = right.astype(
+        {"user_id": "int64", "ts": "int64", "value": "float64", "rid": "int64"}
+    )
+
+    got = asof_join(
+        spark.createDataFrame(left, "user_id long, ts long, event_id long"),
+        spark.createDataFrame(right, "user_id long, ts long, value double, rid long"),
+        on="ts", by=["user_id"], value_cols=["rid", "value"],
+        right_order_col="rid",
+        tolerance_sec=float(tol) if tol is not None else None,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left.sort_values(["ts", "event_id"], kind="mergesort"),
+        right.sort_values(["ts", "rid"], kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+        tolerance=tol, suffixes=("", "_r"),
+    ).sort_values("event_id").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(
+        got["asof_rid"].astype("float64"), want["rid"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["asof_value"].astype("float64"), want["value"].astype("float64"),
+        check_names=False,
+    )
+
+
 def test_ann_high_dim_pandas_path_matches_literal_path(spark, tmp_path):
     """At real embedding dims (768) the LSH/IVF assignment switches to a
     broadcast-matrix Arrow kernel: buckets/list ids must be IDENTICAL to
