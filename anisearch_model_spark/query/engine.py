@@ -58,6 +58,7 @@ class IndexStore:
         self._df_cache: OrderedDict[tuple[str | None, str], int | None] = OrderedDict()
         self._df_cache_max = df_cache_max or self.DF_CACHE_MAX
         self._ranges: list[tuple[int, int, int]] | None = None  # manifest doc ranges
+        self._ranges_mtime: float | None = None
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
         from anisearch_model_spark.index.store import INDEX_FORMAT_VERSION
@@ -110,15 +111,21 @@ class IndexStore:
     def buckets_for(self, doc_ids: list[int]) -> list[int]:
         """Bucket ids whose doc-range covers any of ``doc_ids`` (manifest
         ranges, driver-side) — lets a metadata probe prune the doc_map
-        scan to the few bucket partitions actually holding hits."""
-        if self._ranges is None:
-            with open(os.path.join(self.index_dir, "manifest.json"),
-                      encoding="utf-8") as f:
+        scan to the few bucket partitions actually holding hits.
+
+        Re-reads the manifest when its mtime changes: an incremental
+        append or compaction in the same process rewrites the bucket map,
+        and pruning with stale ranges would silently DROP hits."""
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        mtime = os.path.getmtime(mpath)
+        if self._ranges is None or mtime != self._ranges_mtime:
+            with open(mpath, encoding="utf-8") as f:
                 manifest = json.load(f)
             self._ranges = sorted(
                 (int(first), int(first) + int(count), int(b))
                 for b, (first, count) in manifest["buckets"].items()
             )
+            self._ranges_mtime = mtime
         import bisect
 
         starts = [r[0] for r in self._ranges]

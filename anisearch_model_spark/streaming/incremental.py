@@ -119,10 +119,17 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
 
 def incremental_append(spark: SparkSession, stream_dir: str, index_dir: str,
                        checkpoint_dir: str | None = None,
-                       params: BM25Params | None = None) -> None:
+                       params: BM25Params | None = None,
+                       auto_compact: bool = False,
+                       compact_factor: int = 2) -> None:
     """Fold all currently-available new transcript files into the index
     (Trigger.AvailableNow: drains the backlog then stops — batch-friendly
-    streaming per the Structured Streaming guide)."""
+    streaming per the Structured Streaming guide).
+
+    ``auto_compact``: after draining, merge small append buckets back to
+    full size once the bucket count exceeds ``compact_factor`` × the base
+    build's count — long-lived streaming indexes otherwise accumulate one
+    tiny bucket per micro-batch until task overhead dominates queries."""
     params = params or BM25Params()
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     stream = (
@@ -138,3 +145,11 @@ def incremental_append(spark: SparkSession, stream_dir: str, index_dir: str,
         .start()
     )
     q.awaitTermination()
+    if auto_compact:
+        with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
+            manifest = json.load(f)
+        base = int(manifest.get("num_buckets", 32))
+        if len(manifest["buckets"]) > compact_factor * base:
+            from anisearch_model_spark.index.compact import compact_index
+
+            compact_index(spark, index_dir, params=params)

@@ -22,6 +22,42 @@ def test_plan_groups_merges_adjacent_and_tail():
     assert plan_groups(shuffled, 100) == [[3, 9], [7]]
 
 
+def test_streaming_append_auto_compacts(spark, tmp_path):
+    """incremental_append(auto_compact=True) keeps a long-lived streaming
+    index's bucket count bounded (≤ compact_factor × base + the current
+    append) while results stay equal to a from-scratch build."""
+    import numpy as np
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.streaming.incremental import incremental_append
+
+    full_pdf = gen_transcripts_pandas(1600, seed=13)
+    convs = sorted(full_pdf["conv_id"].unique())
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "sc_idx")
+    stream_dir = str(tmp_path / "sc_stream")
+    cutpoints = [convs[len(convs) * i // 8] for i in range(4, 8)] + [chr(0x10FFFF)]
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cutpoints[0]], schema), d, num_buckets=2)
+    for a, b in zip(cutpoints, cutpoints[1:]):
+        s = full_pdf[(full_pdf["conv_id"] >= a) & (full_pdf["conv_id"] < b)]
+        spark.createDataFrame(s, schema).write.mode("append").parquet(stream_dir)
+        incremental_append(spark, stream_dir, d, auto_compact=True)
+
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    assert len(manifest["buckets"]) <= 2 * 2 + 2  # bounded, not one per batch
+
+    d_full = str(tmp_path / "sc_full")
+    build_index(spark, spark.createDataFrame(full_pdf, schema), d_full,
+                num_buckets=2)
+    a = topk_bmw(IndexStore(spark, d_full), "hero battle magic", 10).toPandas()
+    b = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
 def test_compaction_preserves_results_and_shrinks_buckets(spark, tmp_path):
     from anisearch_model_spark.config import BM25Params
     from anisearch_model_spark.datagen import gen_transcripts_pandas
