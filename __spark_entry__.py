@@ -471,6 +471,17 @@ def dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8)
 
 
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3 of the 32-bit
+    hash — pigeonhole banding (4 bands of 8 bits; r<4 differing bits must
+    leave >=1 band identical) makes candidates an equi-join on band
+    values, verified with one bit_count(xor)."""
+    from anisearch_model_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, bits=32, max_hamming=3, n_bands=4)
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-blocked (md5 hyperplanes →
     the oracle mirrors the exact same-bucket candidate semantics)."""
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_shingle": dedup_minhash_shingle,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_near": dedup_simhash_near,
         "dedup_embedding": dedup_embedding,
         "a5_corpus_stats": a5_corpus_stats,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1252,6 +1264,31 @@ def oracle_sql() -> dict[str, str]:
               FROM votes GROUP BY doc_id, j)
             SELECT doc_id, sum(bit * (2 ** j)::bigint)::bigint AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dedup_simhash_near": f"""
+            WITH {toks_cte},
+            th AS (SELECT doc_id, token, md5(token) AS h FROM toks),
+            votes AS (
+              SELECT doc_id, r.j,
+                     CASE WHEN substring(h, (r.j + 1)::int, 1) IN
+                          ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+              FROM th CROSS JOIN range(32) r(j)),
+            bits AS (
+              SELECT doc_id, j, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
+              FROM votes GROUP BY doc_id, j),
+            sh AS (
+              SELECT doc_id, sum(bit * (2 ** j)::bigint)::bigint AS simhash
+              FROM bits GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, simhash, b.b AS band,
+                     (simhash // (2 ** (b.b * 8))::bigint) % 256 AS band_val
+              FROM sh CROSS JOIN range(4) b(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash))::int AS hamming
+              FROM bands a JOIN bands b USING (band, band_val)
+              WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         """,
         "a5_corpus_stats": f"""
             WITH toks AS (

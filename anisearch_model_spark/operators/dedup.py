@@ -296,6 +296,49 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16,
+                       max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``:
+    (doc_a, doc_b, hamming).
+
+    The pigeonhole blocking trick: split the ``bits``-bit hash into
+    ``n_bands`` contiguous bands — any pair within Hamming distance
+    < n_bands must agree EXACTLY on at least one band, so candidates are
+    same-band-value collisions (an equi-join on a bounded key, never
+    all-pairs), verified with one ``bit_count(xor)``.  Requires
+    ``max_hamming < n_bands`` for zero false negatives (r differing bits
+    can ruin at most r bands).  Scale shape: each band key has
+    2^(bits/n_bands) values; hot keys mean genuinely near-identical docs,
+    the same skew AQE handles in the MinHash band join.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs r < n_bands"
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    sh = simhash(df, id_col, text_col, bits)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(n_bands)
+        ])).alias("band", "band_val"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.9,
                           n_planes: int = 8, seed: int = 42,
                           id_col: str = "vec_id",

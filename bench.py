@@ -78,6 +78,15 @@ def main() -> None:
         _noop_write(topk_bmw(idx, q, 10))
     timings["bm25_query_x3"] = round(time.time() - t0, 3)
 
+    # end-to-end search(): BMW default scorer + bucket-pruned doc_map
+    # metadata probe (PartitionFilter + pushed doc_id IN) + rank join
+    from anisearch_model_spark.query.engine import search
+
+    t0 = time.time()
+    for q in ["hero battle magic world", "robot space pirate", "shadow light king"]:
+        search(idx, q, 10).collect()
+    timings["search_e2e_x3"] = round(time.time() - t0, 3)
+
     # batch query-set evaluation: 20 queries, ONE distributed job
     import pandas as pd
 

