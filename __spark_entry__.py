@@ -378,6 +378,32 @@ def events_asof_tolerance(spark, sf_dir):
     )
 
 
+def events_range_join(spark, sf_dir):
+    """Backward-window range join: every error within the hour before each
+    click, same user — bucketized to an EQUI-join on (user, time-bucket)
+    + residual filter (2x left fan-out), never the theta-join nested loop
+    a raw BETWEEN condition plans."""
+    from anisearch_model_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = range_join(
+        clicks, errors, on="ts", by=["user_id"], window_sec=3600.0,
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        right_prefix="err_",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("err_event_id").cast("long").alias("err_event_id"),
+        F.round("err_value", 4).alias("err_value"),
+    )
+
+
 def events_window_agg(spark, sf_dir):
     """Tumbling 1-day window aggregation per event type."""
     e = _t(spark, sf_dir, "events")
@@ -790,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": events_window_agg,
         "events_asof_join": events_asof_join,
         "events_asof_tolerance": events_asof_tolerance,
+        "events_range_join": events_range_join,
         "tx_token_count": tx_token_count,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
@@ -1081,6 +1108,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, (m).eid AS err_event_id,
                    round((m).val, 4)::double AS err_value
             FROM tol
+        """,
+        "events_range_join": """
+            SELECT l.event_id AS click_id, l.user_id,
+                   r.event_id AS err_event_id,
+                   round(r.value, 4)::double AS err_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND extract(epoch FROM r.ts) > extract(epoch FROM l.ts) - 3600
+             AND extract(epoch FROM r.ts) <= extract(epoch FROM l.ts)
         """,
         "tx_token_count": """
             SELECT doc_id,

@@ -548,6 +548,41 @@ def test_ann_high_dim_pandas_path_matches_literal_path(spark, tmp_path):
     assert lit_a == pan_a == auto_a
 
 
+def test_range_join_window_boundaries(spark):
+    """Backward-window range join: half-open (l.on - w, l.on] — an exact-
+    instant match is included, a row exactly w old is excluded, matches
+    never cross by-groups, and bucket edges (matches straddling the time
+    bucket boundary) are found via the 2-bucket probe."""
+    import datetime as dt
+    from anisearch_model_spark.operators.rangejoin import range_join
+    from anisearch_model_spark.plans.inspect import formatted_plan
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(100), 10), (1, t(65), 11), (2, t(100), 12)],
+        "user_id long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(100), 20),   # exact instant → match for lid 10
+         (1, t(40), 21),    # 60s before lid 10 (exactly w) → EXCLUDED;
+                            # 25s before lid 11 → match (straddles the
+                            # 60s bucket boundary at t=60)
+         (1, t(45), 22),    # 55s before lid 10 → match; 20s before 11
+         (2, t(99), 23)],   # other group
+        "user_id long, ts timestamp, rid long",
+    )
+    out = range_join(
+        left, right, on="ts", by=["user_id"], window_sec=60.0,
+        left_cols=["lid"], right_cols=["rid"],
+    ).toPandas()
+    got = sorted(zip(out["lid"], out["r_rid"]))
+    assert got == [(10, 20), (10, 22), (11, 21), (11, 22), (12, 23)]
+    plan = formatted_plan(range_join(
+        left, right, on="ts", by=["user_id"], window_sec=60.0,
+        left_cols=["lid"], right_cols=["rid"]))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_ivf_index_recall_and_pruning(spark, tmp_path):
     """IVF coarse quantizer: materialized layout prunes to the probed
     list partitions, the expression path matches the index path exactly,
