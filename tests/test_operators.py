@@ -456,15 +456,17 @@ _asof_right = st.lists(
 
 
 @given(left_rows=_asof_left, right_rows=_asof_right,
-       tol=st.one_of(st.none(), st.integers(0, 20)))
-@settings(max_examples=8, deadline=None,
+       tol=st.one_of(st.none(), st.integers(0, 20)),
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+@settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows,
+                                             tol, direction):
     """Differential test vs the documented reference semantic
-    (pandas merge_asof, backward inclusive): random frames, duplicate
-    instants, genuine NULL right values, optional tolerance.  Our
-    max(right_order_col) tie-break equals merge_asof's last-row-wins once
-    the right side is sorted by (on, order_col)."""
+    (pandas merge_asof): random frames, duplicate instants, genuine NULL
+    right values, optional tolerance, all three directions.  Our
+    order_col tie-breaks equal merge_asof's position-in-sorted-frame rule
+    once the right side is sorted by (on, order_col)."""
     from anisearch_model_spark.operators.asof import asof_join
 
     left = pd.DataFrame(left_rows, columns=["user_id", "ts"])
@@ -481,12 +483,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, tol):
         on="ts", by=["user_id"], value_cols=["rid", "value"],
         right_order_col="rid",
         tolerance_sec=float(tol) if tol is not None else None,
+        direction=direction,
     ).toPandas().sort_values("event_id").reset_index(drop=True)
 
     want = pd.merge_asof(
         left.sort_values(["ts", "event_id"], kind="mergesort"),
         right.sort_values(["ts", "rid"], kind="mergesort"),
-        on="ts", by="user_id", direction="backward",
+        on="ts", by="user_id", direction=direction,
         tolerance=tol, suffixes=("", "_r"),
     ).sort_values("event_id").reset_index(drop=True)
 
