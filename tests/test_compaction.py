@@ -22,6 +22,47 @@ def test_plan_groups_merges_adjacent_and_tail():
     assert plan_groups(shuffled, 100) == [[3, 9], [7]]
 
 
+def test_compaction_field_qualified_index(spark, tmp_path):
+    """Compaction on a field-qualified index: per-(bucket, field)
+    partitions merge per field, and field-SCOPED queries stay bit-equal
+    (per-field stats re-derived by finalize are unchanged)."""
+    import numpy as np
+    from anisearch_model_spark.config import BM25Params
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.compact import compact_index
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.streaming.incremental import _append_batch
+
+    full_pdf = gen_transcripts_pandas(1200, seed=55)
+    convs = sorted(full_pdf["conv_id"].unique())
+    cut1, cut2 = convs[len(convs) // 2], convs[len(convs) * 3 // 4]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "fq_idx")
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cut1], schema), d, num_buckets=2,
+        field_col="role")
+    for lo, hi in [(cut1, cut2), (cut2, chr(0x10FFFF))]:
+        s = full_pdf[(full_pdf["conv_id"] >= lo) & (full_pdf["conv_id"] < hi)]
+        _append_batch(spark, spark.createDataFrame(s, schema), d, BM25Params())
+
+    idx = IndexStore(spark, d)
+    want = {
+        f: topk_bmw(idx, "hero battle magic", 10, field=f).toPandas()
+        for f in ("user", "assistant", None)
+    }
+    out = compact_index(spark, d)
+    assert out["buckets_after"] < out["buckets_before"]
+    after = IndexStore(spark, d)
+    assert after.stats["fields"] == idx.stats["fields"]
+    for f, w in want.items():
+        got = topk_bmw(after, "hero battle magic", 10, field=f).toPandas()
+        assert got["doc_id"].tolist() == w["doc_id"].tolist(), f
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), w["score"].to_numpy())
+
+
 def test_streaming_append_auto_compacts(spark, tmp_path):
     """incremental_append(auto_compact=True) keeps a long-lived streaming
     index's bucket count bounded (≤ compact_factor × base + the current
