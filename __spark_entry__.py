@@ -535,6 +535,19 @@ def dedup_simhash(spark, sf_dir):
     return simhash(d)
 
 
+def dedup_cluster(spark, sf_dir):
+    """Transitive near-dup CLUSTERS: MinHash pairs -> connected components
+    (min-label propagation + pointer-doubling, O(log d) rounds of bounded
+    shuffles) -> (doc_id, cluster_id, cluster_size) with the canonical
+    survivor = min doc_id; docs in no pair are size-1 singletons."""
+    from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
+    from anisearch_model_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8)
+    return dedup_clusters(d, pairs, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -828,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_shingle": dedup_minhash_shingle,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_near": dedup_simhash_near,
+        "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,
         "a5_corpus_stats": a5_corpus_stats,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1247,6 +1261,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8
+        """,
+        "dedup_cluster": f"""
+            WITH RECURSIVE {toks_cte},
+            sig AS (
+              SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
+              FROM toks CROSS JOIN range(16) r(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, (i // 4)::int AS band,
+                     md5(string_agg(minhash, '' ORDER BY i)) AS band_key
+              FROM sig GROUP BY doc_id, (i // 4)::int),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM toks x JOIN toks y USING (token)
+              JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(src, node) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node),
+            labels AS (
+              SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src),
+            clustered AS (
+              SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l USING (doc_id))
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM clustered
         """,
         "dedup_minhash_shingle": """
             WITH ws AS (

@@ -1,0 +1,145 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+The reference deduplicates pairwise only (drop_duplicates by key,
+``src/merge_datasets.py:435-449``); a training-data pipeline needs the step
+AFTER pair generation: group transitively-connected near-dups into
+clusters and pick one canonical document per cluster (pairs (a,b) and
+(b,c) must collapse a, b, c together even though (a,c) was never emitted).
+
+Spark-first design — iterative min-label propagation with a
+pointer-doubling shortcut:
+
+  * labels start as each node's own id; one round does
+      (1) neighbor-min   l'(v) = min(l(v), min_{u∈Γ(v)} l(u))
+          — one shuffle of |E| label messages, map-side combined
+      (2) shortcut       l''(v) = l'(l'(v))
+          — labels are always node ids, so this is a self-join of the
+            label relation with a renamed copy of itself (|V| rows); it
+            halves label-chain depth, giving O(log d) total rounds
+            instead of O(d) on chain-shaped components (d = diameter)
+  * every shuffle key is a node id — bounded by |V| + |E|, never
+    quadratic in cluster size; no all-pairs materialization
+  * labels only ever decrease, so sum(label) is a monotone convergence
+    metric: one scalar action per round instead of a changed-row join
+  * each round's labels are persisted and forced by that scalar action,
+    then the previous round is unpersisted — execution is incremental
+    even though the logical plan nests (deliberately NOT
+    localCheckpoint: the RDD path loses AQE and mis-resolves the
+    shortcut self-join; see operators/dedup.py:72 for the same policy)
+
+At 100 TB the edge relation comes from LSH banding (bounded candidates),
+|V| ≤ doc count, and each round is two bounded shuffles — the same shape
+as large-star/small-star MapReduce CC, with the same O(log) round bound
+in practice on near-dup graphs (which are dense, diameter ≈ 2-4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# same cache policy as operators/dedup.py::_token_caches — the final label
+# relation must stay cached for the caller's downstream reads, but must
+# not LEAK executor storage across repeated runs in one session: each run
+# releases the previous run's caches (≤1 run resident at a time).
+_label_caches: list[DataFrame] = []
+
+
+def _register(df: DataFrame) -> DataFrame:
+    _label_caches.append(df)
+    return df
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, label) — label = min node id in the connected component.
+
+    ``pairs`` is an undirected edge list; only nodes appearing in at
+    least one pair are returned (isolated nodes have no edges to learn
+    from — callers add singletons, see ``dedup_clusters``).
+    """
+    while _label_caches:
+        _label_caches.pop().unpersist()
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    row = labels.agg(F.sum("label")).collect()[0]
+    if row[0] is None:  # no edges → no labeled nodes
+        edges.unpersist()
+        return _register(labels)
+    prev_sum = row[0]
+    for _ in range(max_iter):
+        # (1) neighbor-min: push each node's label to its neighbors
+        msgs = edges.join(
+            labels, edges["u"] == labels["node"]
+        ).select(F.col("v").alias("node"), "label")
+        cand = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer-doubling shortcut: follow the label's own label.
+        # Every label IS a node id (min over node ids), and that node's
+        # own label is ≤ itself, so the inner join is total.  The second
+        # side is a column-renamed copy so the self-join resolves
+        # unambiguously.
+        cand2 = cand.select(
+            F.col("node").alias("_n2"), F.col("label").alias("_l2")
+        )
+        nxt = (
+            cand.join(cand2, cand["label"] == cand2["_n2"])
+            .select("node", F.col("_l2").alias("label"))
+            .persist()
+        )
+        cur_sum = nxt.agg(F.sum("label")).collect()[0][0]  # forces cache
+        labels.unpersist()
+        labels = nxt
+        if cur_sum == prev_sum:  # labels are non-increasing ⇒ fixpoint
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return _register(labels)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for EVERY row of ``df``.
+
+    cluster_id = min doc id in the transitive near-dup cluster (the
+    canonical survivor a keep-one policy retains: ``doc_id ==
+    cluster_id``); docs in no pair are singleton clusters of size 1.
+    """
+    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    out = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn(
+        "cluster_size", F.count("*").over(w).cast("long")
+    ).select("doc_id", "cluster_id", "cluster_size")

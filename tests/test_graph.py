@@ -1,0 +1,64 @@
+"""Connected components / dedup clustering."""
+
+import pytest
+
+from anisearch_model_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _labels(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # path graph 1-2-3-...-12: diameter 11 exercises the pointer-doubling
+    # shortcut (plain propagation would need 11 rounds; log2(11) ≈ 4)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    got = _labels(connected_components(pairs))
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_multiple_components_and_direction(spark):
+    # edges given in arbitrary direction; two components + a pair
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 30)], "doc_a long, doc_b long"
+    )
+    got = _labels(connected_components(pairs))
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 30: 30, 40: 30}
+
+
+def test_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_singletons_and_sizes(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1),
+        5: (5, 2), 6: (5, 2),
+        7: (7, 1),
+    }
+
+
+def test_max_iter_guard(spark):
+    # even with max_iter=1 the result is well-formed (possibly unconverged
+    # labels are still ids of nodes in the same component)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    got = _labels(connected_components(pairs, max_iter=1))
+    assert set(got) == set(range(1, 7))
+    assert all(lbl in got for lbl in got.values())
