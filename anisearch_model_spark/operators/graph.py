@@ -143,3 +143,27 @@ def dedup_clusters(
     return out.withColumn(
         "cluster_size", F.count("*").over(w).cast("long")
     ).select("doc_id", "cluster_id", "cluster_size")
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``df`` filtered to one canonical row per near-dup cluster (the min
+    doc id) — the keep-one endpoint a training pipeline actually runs.
+
+    Implemented as an anti-join against the non-canonical label rows
+    (node ≠ label), so rows in no pair pass through untouched and the
+    full ``df`` schema is preserved.
+    """
+    labels = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("__loser_id")
+    )
+    return df.join(
+        losers, df[id_col].cast("long") == losers["__loser_id"], "left_anti"
+    )

@@ -22,10 +22,29 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_probe() -> float:
+    """Single-core memory-bandwidth probe (healthy ≈ 0.5 s on this box).
+
+    The sandbox VM is transiently memory-throttled 10-100× on a
+    minutes scale (observed across rounds: the same suite varies 3×+
+    with zero code change).  Bracketing the suite with this probe stamps
+    the measurement's environment into the JSON so a slow number can be
+    attributed to the host, not the engine.
+    """
+    import numpy as np
+
+    a = np.arange(20_000_000, dtype=np.int64)
+    t0 = time.time()
+    for _ in range(10):
+        a = a * 3
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_turns = int(os.environ.get("BENCH_TURNS", "500000"))
+    probe_start = _host_probe()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -165,6 +184,9 @@ def main() -> None:
                 "bmw_blocks_total": bmw_total,
                 "bmw_hot_query_sec": hot_bmw,
                 "exhaustive_hot_query_sec": hot_exh,
+                "host_probe_sec_start": probe_start,
+                "host_probe_sec_end": _host_probe(),
+                "host_probe_healthy_sec": 0.5,
             }
         )
     )

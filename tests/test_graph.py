@@ -5,6 +5,7 @@ import pytest
 from anisearch_model_spark.operators.graph import (
     connected_components,
     dedup_clusters,
+    drop_near_duplicates,
 )
 
 
@@ -51,6 +52,18 @@ def test_dedup_clusters_singletons_and_sizes(spark):
         5: (5, 2), 6: (5, 2),
         7: (7, 1),
     }
+
+
+def test_drop_near_duplicates_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = drop_near_duplicates(docs, pairs)
+    assert kept.columns == ["doc_id", "text"]  # schema preserved
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5, 7]
 
 
 def test_max_iter_guard(spark):
