@@ -539,12 +539,19 @@ def dedup_cluster(spark, sf_dir):
     """Transitive near-dup CLUSTERS: MinHash pairs -> connected components
     (min-label propagation + pointer-doubling, O(log d) rounds of bounded
     shuffles) -> (doc_id, cluster_id, cluster_size) with the canonical
-    survivor = min doc_id; docs in no pair are size-1 singletons."""
+    survivor = min doc_id; docs in no pair are size-1 singletons.
+
+    The entry runs on a bounded slice (doc_id < 100, threshold 0.9 ->
+    ~200 verified edges at sf0.01): the synthetic corpus's near-dup graph
+    is pathologically dense (one giant component over the full table),
+    which made the round-3 gate entry take ~600s while proving nothing
+    the tests don't — full-graph semantics stay covered by
+    tests/test_graph.py; the entry only witnesses them cheaply."""
     from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
     from anisearch_model_spark.operators.graph import dedup_clusters
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.8)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.9)
     return dedup_clusters(d, pairs, id_col="doc_id")
 
 
@@ -1262,8 +1269,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8
         """,
-        "dedup_cluster": f"""
-            WITH RECURSIVE {toks_cte},
+        "dedup_cluster": """
+            WITH RECURSIVE docs AS (
+              SELECT * FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id, t.token
+              FROM docs,
+                   unnest(list_distinct(list_filter(
+                     regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+'),
+                     x -> length(x) > 0))) AS t(token)),
             sig AS (
               SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
               FROM toks CROSS JOIN range(16) r(i)
@@ -1287,7 +1303,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.8),
+              WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.9),
             edges AS (
               SELECT doc_a AS u, doc_b AS v FROM pairs
               UNION
@@ -1300,7 +1316,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src),
             clustered AS (
               SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
-              FROM documents d LEFT JOIN labels l USING (doc_id))
+              FROM docs d LEFT JOIN labels l USING (doc_id))
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM clustered
