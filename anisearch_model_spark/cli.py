@@ -42,12 +42,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--page", type=int, default=1)
-    s.add_argument("--pruned", action="store_true",
-                   help="block-max WAND scorer (now the default; kept for "
-                        "script compatibility)")
-    s.add_argument("--exhaustive", action="store_true",
-                   help="exact exhaustive scorer — the oracle/debug "
-                        "comparator (identical results, decodes every block)")
+    scorer = s.add_mutually_exclusive_group()
+    scorer.add_argument("--pruned", action="store_true",
+                        help="block-max WAND scorer (the default; kept for "
+                             "script compatibility)")
+    scorer.add_argument("--exhaustive", action="store_true",
+                        help="exact exhaustive scorer — the oracle/debug "
+                             "comparator (identical results, decodes every "
+                             "block)")
     s.add_argument("--role", default=None,
                    help="scope to one field of a field-qualified index")
     s.add_argument("--conversations", action="store_true",
@@ -55,9 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default=None,
                    help="comma-separated fields: per-field scoring + "
                         "conv-level merge (reference multi-column search)")
-    s.add_argument("--no-log", action="store_true",
-                   help="skip the per-query evaluation record in "
-                        "<index>/query_log")
+    s.add_argument("--log", action="store_true",
+                   help="append a per-query evaluation record to "
+                        "<index>/query_log (opt-in: plain search stays a "
+                        "pure read and works on read-only index mounts)")
 
     a = sub.add_parser("append", help="incremental index append (streaming)")
     a.add_argument("--stream-dir", required=True)
@@ -95,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
 
             idx = IndexStore(spark, args.index)
             pruned = not args.exhaustive
+            # timer starts BEFORE the search call: probe_doc_map executes
+            # the expensive top-k eagerly at DataFrame-construction time,
+            # so timing only the final collect() logs a meaningless
+            # near-zero latency (same policy as timed_logged_search)
+            import time
+
+            t0 = time.time()
             if args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
@@ -107,27 +117,29 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = search(idx, args.query, k=args.k, pruned=pruned,
                              page=args.page, role=args.role)
-            import time
-
-            t0 = time.time()
             rows = out.collect()
             wall_ms = (time.time() - t0) * 1000.0
-            if not args.no_log:
+            if args.log:
                 import datetime as dt
 
                 from anisearch_model_spark.query.log import log_query, result_hash
 
-                log_query(
-                    spark, args.index,
-                    ts=dt.datetime.now(), query_text=args.query, k=args.k,
-                    page=args.page, field=args.role,
-                    scorer="bmw" if pruned else "exhaustive",
-                    n_results=len(rows),
-                    res_hash=result_hash(
-                        [(r["rank"], r["doc_id"], r["score"]) for r in rows]
-                    ),
-                    wall_ms=wall_ms,
-                )
+                try:
+                    log_query(
+                        spark, args.index,
+                        ts=dt.datetime.now(), query_text=args.query, k=args.k,
+                        page=args.page, field=args.role,
+                        scorer="bmw" if pruned else "exhaustive",
+                        n_results=len(rows),
+                        res_hash=result_hash(
+                            [(r["rank"], r["doc_id"], r["score"]) for r in rows]
+                            if rows and "rank" in rows[0].asDict() else []
+                        ),
+                        wall_ms=wall_ms,
+                    )
+                except Exception as e:  # noqa: BLE001 — logging must never eat results
+                    print(f"warning: query_log append failed: {e}",
+                          file=sys.stderr)
             for row in rows:
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "append":

@@ -83,7 +83,7 @@ def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str,
     return toks
 
 
-def _verify_jaccard(cand: DataFrame, toks: DataFrame, sizes: DataFrame,
+def _verify_jaccard(cand: DataFrame, toks: DataFrame,
                     threshold: float) -> DataFrame:
     """Exact-Jaccard verify, CANDIDATE-DRIVEN: each candidate pair joins
     the two docs' SORTED TOKEN ARRAYS (one row per doc side) and counts
@@ -144,7 +144,6 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4dp.
     """
     toks = _fresh_token_cache(df, id_col, text_col)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     tok_df = toks.groupBy("token").agg(F.count("*").alias("token_df"))
     rare = toks.join(
         F.broadcast(tok_df.filter(F.col("token_df") <= max_token_df)), "token"
@@ -158,7 +157,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(cand, toks, sizes, threshold)
+    return _verify_jaccard(cand, toks, threshold)
 
 
 def minhash_signature_arrays(
@@ -255,8 +254,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    return _verify_jaccard(cand, toks, sizes, threshold)
+    return _verify_jaccard(cand, toks, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -67,11 +67,43 @@ class IndexStore:
         if got != INDEX_FORMAT_VERSION:
             # version gate at OPEN time: a legacy varint buffer can start
             # with 0x56/0x50 by chance, so the decoder's flag sniff alone
-            # cannot reliably reject pre-flag indexes — the stats marker can
-            raise ValueError(
-                f"index at {index_dir} has format version {got!r}, engine "
-                f"requires {INDEX_FORMAT_VERSION} — rebuild the index"
-            )
+            # cannot reliably reject pre-flag indexes — the stats marker
+            # can.  But a MISSING marker only means the index predates the
+            # stats stamp, and the flag-prefixed buffer layout predates it
+            # too: for those, sniff one posting buffer and accept if it
+            # carries a valid codec flag instead of forcing a rebuild of a
+            # byte-compatible index.
+            if got is None and self._sniff_flag_prefixed():
+                self.stats["index_format_version"] = INDEX_FORMAT_VERSION
+            else:
+                raise ValueError(
+                    f"index at {index_dir} has format version {got!r}, "
+                    f"engine requires {INDEX_FORMAT_VERSION} — rebuild the "
+                    f"index"
+                )
+
+    def _sniff_flag_prefixed(self) -> bool:
+        """True if a sampled posting buffer starts with a known codec flag
+        byte — the pre-stats-marker compatibility check (driver-side
+        pyarrow read of one parquet file; no Spark job)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from anisearch_model_spark.index.codec import FLAG_PFOR, FLAG_VARINT
+
+        files = glob.glob(
+            os.path.join(self.index_dir, "postings", "**", "*.parquet"),
+            recursive=True,
+        )
+        for path in sorted(files):
+            t = pq.read_table(path, columns=["doc_deltas"])
+            col = t.column("doc_deltas")
+            if len(col) == 0:
+                continue
+            buf = col[0].as_py()
+            return bool(buf) and buf[:1] in (FLAG_VARINT, FLAG_PFOR)
+        return False
 
     def term_dfs(self, terms: list[str],
                  field: str | None = None) -> dict[str, int]:

@@ -49,27 +49,30 @@ def _session_fn(gap_ms: int):
             return
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        # Sessionize as an INTERVAL MERGE: the stored open session is a
+        # (start, end, n) interval, each batch event a point interval;
+        # sort by start and coalesce neighbors within the gap.  This
+        # both lets a late-but-within-watermark event extend the open
+        # session backwards AND closes a pre-gap late event (older than
+        # session_start by more than the gap, reachable whenever
+        # late_tolerance > gap) as its own earlier session instead of
+        # absorbing it into a session spanning a silence longer than
+        # the gap.
+        intervals = [(t, t, 1) for t in ts_ms]
         if state.exists:
-            start_ms, last_ms, n = state.get
-        else:
-            start_ms = last_ms = None
-            n = 0
-        closed = []
-        for t in ts_ms:
-            if last_ms is None:
-                start_ms, last_ms, n = t, t, 1
-            elif t - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n))
-                start_ms, last_ms, n = t, t, 1
+            intervals.append(tuple(state.get))
+        intervals.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, cnt in intervals:
+            if merged and s - merged[-1][1] <= gap_ms:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + cnt)
             else:
-                # events are sorted only WITHIN a batch: a late-but-within-
-                # watermark event from a later micro-batch can precede the
-                # stored session bounds — merge with min/max so an earlier
-                # event never shrinks session_end or mis-anchors the next
-                # gap check, and can extend session_start backwards
-                start_ms = min(start_ms, t)
-                last_ms = max(last_ms, t)
-                n += 1
+                merged.append((s, e, cnt))
+        # all but the latest interval are already gap-separated in the
+        # past — close them now; the latest stays open in state
+        closed = merged[:-1]
+        start_ms, last_ms, n = merged[-1]
         state.update((start_ms, last_ms, n))
         # event-time timeout: flush the open session once the watermark
         # passes last_ms + gap (must stay strictly above the watermark)

@@ -99,24 +99,33 @@ def test_cli_build_and_search(spark, tmp_path, capsys):
     write_transcripts(spark, src, 1000, seed=9)
     rc = cli.main(["build", "--input", src, "--index", idx, "--num-buckets", "4"])
     assert rc == 0
+    # plain search is a pure read: NO query_log dir appears
     rc = cli.main(["search", "--index", idx, "--query", "hero battle", "--k", "3"])
+    assert rc == 0
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "query_log"))
+    # opt-in logging writes one query-log record (reference S6 query half)
+    rc = cli.main(["search", "--index", idx, "--query", "hero battle",
+                   "--k", "3", "--log"])
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     import json
 
     build_line = json.loads(out[0])
     assert build_line["n_docs"] == 1000
-    hits = [json.loads(x) for x in out[1:]]
-    assert len(hits) <= 3 and all("conv_id" in h for h in hits)
+    hits = [json.loads(x) for x in out[1:] if "conv_id" in x]
+    assert 1 <= len(hits) <= 6  # two searches' hits, ≤3 each
 
-    # CLI search wrote one query-log record (reference S6 query half)
     from anisearch_model_spark.query.log import read_query_log
 
     log = read_query_log(spark, idx).toPandas()
     assert len(log) == 1
     assert log.loc[0, "query_text"] == "hero battle"
-    assert log.loc[0, "n_results"] == len(hits)
     assert log.loc[0, "scorer"] == "bmw"
+    # wall_ms measures the whole search (construction executes the
+    # expensive top-k eagerly), not just the final collect
+    assert log.loc[0, "wall_ms"] > 1.0
 
 
 def test_query_log_append_only(spark, index_dir, tmp_path):
@@ -358,6 +367,51 @@ def test_stateful_sessionizer_late_event_merge(spark, tmp_path):
             for r in closed_sessions(spark, out_dir).collect()]
     assert rows == [
         (t0 + dt.timedelta(minutes=7), t0 + dt.timedelta(minutes=10), 3)
+    ]
+
+
+def test_stateful_sessionizer_pre_gap_late_event_own_session(spark, tmp_path):
+    """A late-but-within-watermark event OLDER than the open session's
+    start by more than the gap (reachable whenever late_tolerance > gap)
+    must close as its OWN earlier session — not extend the open session
+    backwards across a silence longer than the gap."""
+    import datetime as dt
+    import os
+    from anisearch_model_spark.streaming.stateful import (
+        closed_sessions, sessionize_stream)
+    from anisearch_model_spark.streaming.windowed import EVENT_SCHEMA
+
+    events_dir = str(tmp_path / "pg_in")
+    out_dir = str(tmp_path / "pg_out")
+    ckpt = str(tmp_path / "pg_ckpt")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [0]
+
+    def feed(specs):
+        rows = [(seq[0] + i, t0 + dt.timedelta(minutes=m), uid, "click", 1.0, None)
+                for i, (uid, m) in enumerate(specs)]
+        seq[0] += len(specs)
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(events_dir)
+        sessionize_stream(spark, events_dir, out_dir, ckpt,
+                          gap="10 minutes", late_tolerance="60 minutes")
+
+    # batch 1: open session [100, 100]; watermark advances to 100-60=40
+    feed([(1, 100)])
+    # batch 2: late event at minute 50 — admitted (>= watermark 40) but
+    # 50 min BEFORE the open session's start, far beyond the 10-min gap:
+    # it must emit as its own closed session (50, 50, 1)
+    feed([(1, 50)])
+    # batch 3: minute 200 closes the [100, 100] session by gap
+    feed([(1, 200)])
+    rows = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in closed_sessions(spark, out_dir).collect()
+    )
+    assert rows == [
+        (t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1),
+        (t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=100), 1),
     ]
 
 

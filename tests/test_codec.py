@@ -92,10 +92,11 @@ def test_pfor_width64_values_roundtrip():
     assert np.array_equal(pfor_decode(buf), vals)
 
 
-def test_index_store_rejects_wrong_format_version(spark, tmp_path):
-    """Legacy-index detection is an explicit stats.json version gate, not
-    a probabilistic sniff of the first payload byte (a pre-flag varint
-    buffer can legitimately start with 0x56/0x50)."""
+def test_index_store_format_version_gate(spark, tmp_path):
+    """stats.json version gate: a PRESENT-but-different version always
+    rejects; a MISSING version (index predates the stats stamp) falls
+    back to sniffing one posting buffer's codec flag byte and accepts a
+    byte-compatible flag-prefixed index instead of forcing a rebuild."""
     import json, os
     from anisearch_model_spark.datagen import gen_transcripts
     from anisearch_model_spark.index.store import build_index
@@ -105,7 +106,10 @@ def test_index_store_rejects_wrong_format_version(spark, tmp_path):
     build_index(spark, gen_transcripts(spark, 50, seed=3), d, num_buckets=2)
     IndexStore(spark, d)  # fresh build opens fine
     stats = json.load(open(os.path.join(d, "stats.json")))
-    del stats["index_format_version"]  # what a pre-flag index looks like
+    del stats["index_format_version"]  # pre-stamp but flag-prefixed index
+    json.dump(stats, open(os.path.join(d, "stats.json"), "w"))
+    IndexStore(spark, d)  # accepted via the flag-byte sniff
+    stats["index_format_version"] = "bogus-v0"  # genuinely incompatible
     json.dump(stats, open(os.path.join(d, "stats.json"), "w"))
     with pytest.raises(ValueError, match="format version"):
         IndexStore(spark, d)
