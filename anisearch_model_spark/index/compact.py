@@ -63,20 +63,93 @@ def plan_groups(buckets: dict[str, list[int]], target_docs: int) -> list[list[in
     return groups
 
 
-def _swap_partitions(spark, df, table_dir: str, partition_by: list[str],
-                     old_buckets: list[int], tmp_dir: str) -> None:
-    """Write ``df`` partitioned into ``tmp_dir``, delete the old bucket
-    dirs, move the new ones in — the Parquet-fallback equivalent of an
-    Iceberg rewrite commit (never overwrite a path being read from)."""
+def _stage_partitions(spark, df, partition_by: list[str], tmp_dir: str) -> None:
+    """Phase 1 of a swap: write ``df`` partitioned into ``tmp_dir``.
+    Originals are untouched — a crash here loses nothing."""
     shutil.rmtree(tmp_dir, ignore_errors=True)
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_dir)
+
+
+def _swap_in(table_dir: str, old_buckets: list[int], tmp_dir: str) -> None:
+    """Phase 2: rename the old bucket dirs ASIDE (bucket=N.old), then move
+    the staged dirs in.  The last copy of a bucket is never destroyed
+    before the manifest commits — the ``.old`` dirs are only dropped by
+    ``_drop_aside`` AFTER the manifest (the commit point) is durably
+    written; until then ``recover_compaction`` can roll back."""
     for b in old_buckets:
-        shutil.rmtree(os.path.join(table_dir, f"bucket={b}"), ignore_errors=True)
+        src = os.path.join(table_dir, f"bucket={b}")
+        if os.path.isdir(src):
+            os.rename(src, src + ".old")
     for entry in os.listdir(tmp_dir):
         if entry.startswith("bucket="):
-            os.rename(os.path.join(tmp_dir, entry),
-                      os.path.join(table_dir, entry))
+            dst = os.path.join(table_dir, entry)
+            shutil.rmtree(dst, ignore_errors=True)  # retry leftover
+            os.rename(os.path.join(tmp_dir, entry), dst)
     shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _drop_aside(table_dir: str, old_buckets: list[int]) -> None:
+    """Phase 3 (post-commit): delete the renamed-aside originals."""
+    for b in old_buckets:
+        shutil.rmtree(os.path.join(table_dir, f"bucket={b}.old"),
+                      ignore_errors=True)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace (tmp + rename): readers never see a torn
+    file, and the rename IS the compaction commit point."""
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def recover_compaction(index_dir: str) -> str | None:
+    """Roll an interrupted compaction forward or back using the manifest
+    as the authority.  Returns "rolled_back", "rolled_forward", or None.
+
+    ``bucket=N.old`` dirs exist only inside one group's swap window (they
+    are dropped right after each group's manifest commit), so the set on
+    disk belongs to a single group:
+
+    * every ``.old`` id still listed in the manifest → the crash happened
+      BEFORE the commit: restore the originals, discard staged output
+    * any ``.old`` id absent from the manifest → the crash happened AFTER
+      the commit (the merged bucket is live): finish the cleanup
+    """
+    mpath = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath, encoding="utf-8") as f:
+        manifest = json.load(f)
+    live = set(manifest.get("buckets", {}))
+    outcome = None
+    for table in ("postings", "doc_map"):
+        table_dir = os.path.join(index_dir, table)
+        if not os.path.isdir(table_dir):
+            continue
+        olds = [e for e in os.listdir(table_dir)
+                if e.startswith("bucket=") and e.endswith(".old")]
+        ids = [e[len("bucket="):-len(".old")] for e in olds]
+        if not ids:
+            continue
+        if all(i in live for i in ids):  # pre-commit → roll back
+            for i in ids:
+                dst = os.path.join(table_dir, f"bucket={i}")
+                shutil.rmtree(dst, ignore_errors=True)  # staged partial
+                os.rename(dst + ".old", dst)
+            outcome = outcome or "rolled_back"
+        else:  # post-commit → roll forward
+            for i in ids:
+                shutil.rmtree(os.path.join(table_dir, f"bucket={i}.old"),
+                              ignore_errors=True)
+            outcome = "rolled_forward"
+    # tmp dirs are only ever a REDUNDANT copy once the .old state above is
+    # resolved, so they are safe to clear now (never before)
+    for t in ("_compact_tmp_postings", "_compact_tmp_docmap"):
+        shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
+    return outcome
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -94,6 +167,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     from anisearch_model_spark.index.store import finalize_metadata
 
     params = params or BM25Params()
+    healed = recover_compaction(index_dir)  # heal an interrupted prior run
     with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
         manifest = json.load(f)
     with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
@@ -129,29 +203,34 @@ def compact_index(spark: SparkSession, index_dir: str,
                                 (F.row_number().over(w) - 1).cast("int"))
             .withColumn("bucket", F.lit(int(new_id)).cast("int"))
         )
-        _swap_partitions(spark, merged, os.path.join(index_dir, "postings"),
-                         ["bucket", "field"], group,
-                         os.path.join(index_dir, "_compact_tmp_postings"))
-
         doc_map = (
             spark.read.schema(BUCKETED_SCHEMA)
             .parquet(os.path.join(index_dir, "doc_map"))
             .filter(F.col("bucket").isin(group))
             .withColumn("bucket", F.lit(int(new_id)).cast("int"))
         )
-        _swap_partitions(spark, doc_map, os.path.join(index_dir, "doc_map"),
-                         ["bucket"], group,
-                         os.path.join(index_dir, "_compact_tmp_docmap"))
-
+        tmp_p = os.path.join(index_dir, "_compact_tmp_postings")
+        tmp_d = os.path.join(index_dir, "_compact_tmp_docmap")
+        # phase 1: stage BOTH tables while the originals stay live —
+        # the reads above must finish before any original moves
+        _stage_partitions(spark, merged, ["bucket", "field"], tmp_p)
+        _stage_partitions(spark, doc_map, ["bucket"], tmp_d)
+        # phase 2: rename originals aside, move staged dirs in
+        _swap_in(os.path.join(index_dir, "postings"), group, tmp_p)
+        _swap_in(os.path.join(index_dir, "doc_map"), group, tmp_d)
+        # phase 3: COMMIT — the manifest rename makes this group's merge
+        # durable; a crash before this line rolls back from the .old
+        # dirs, a crash after it rolls forward (recover_compaction)
         for b in group:
             del buckets[str(b)]
         buckets[str(new_id)] = [span_lo, span_n]
+        manifest["buckets"] = buckets
+        _write_manifest(index_dir, manifest)
+        # phase 4: drop the renamed-aside originals
+        _drop_aside(os.path.join(index_dir, "postings"), group)
+        _drop_aside(os.path.join(index_dir, "doc_map"), group)
 
     if rewrite:
-        manifest["buckets"] = buckets
-        with open(os.path.join(index_dir, "manifest.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
         # mark merged buckets done so a later resumable build skips them
         from anisearch_model_spark.index.store import CHECKPOINT_SCHEMA
 
@@ -159,6 +238,10 @@ def compact_index(spark: SparkSession, index_dir: str,
                 for g in rewrite]
         spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode(
             "append").parquet(os.path.join(index_dir, "checkpoints"))
+    if rewrite or healed == "rolled_forward":
+        # rolled_forward: a prior run committed its manifest but died
+        # before finalize — re-derive stats/dictionary now even if this
+        # run itself found nothing left to rewrite
         finalize_metadata(
             spark, index_dir, n_docs, params, num_buckets=len(buckets),
             field_col=stats.get("field_col"), codec=stats.get("codec", "varint"),

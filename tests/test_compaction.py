@@ -99,6 +99,79 @@ def test_streaming_append_auto_compacts(spark, tmp_path):
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
 
 
+def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
+    """The manifest rename is the commit point and the last copy of a
+    bucket is never destroyed: a crash BEFORE the manifest commit rolls
+    back from the renamed-aside originals; a crash AFTER it (cleanup not
+    yet run) rolls forward.  Queries are bit-identical in both cases."""
+    import anisearch_model_spark.index.compact as compact_mod
+    from anisearch_model_spark.config import BM25Params
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.compact import (
+        compact_index, recover_compaction)
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.streaming.incremental import _append_batch
+
+    full_pdf = gen_transcripts_pandas(1200, seed=31)
+    convs = sorted(full_pdf["conv_id"].unique())
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "crash_idx")
+    cuts = [convs[len(convs) // 2], convs[len(convs) * 3 // 4]]
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cuts[0]], schema), d, num_buckets=2)
+    for a, b in zip(cuts, cuts[1:] + [chr(0x10FFFF)]):
+        s = full_pdf[(full_pdf["conv_id"] >= a) & (full_pdf["conv_id"] < b)]
+        _append_batch(spark, spark.createDataFrame(s, schema), d, BM25Params())
+
+    want = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    manifest_before = json.load(open(os.path.join(d, "manifest.json")))
+
+    # --- crash 1: die at the manifest write (post-swap, PRE-commit) ---
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at commit")
+
+    monkeypatch.setattr(compact_mod, "_write_manifest", boom)
+    try:
+        compact_index(spark, d)
+        raise AssertionError("crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # .old dirs exist; the staged merge is live but UNcommitted
+    postings_dir = os.path.join(d, "postings")
+    assert any(e.endswith(".old") for e in os.listdir(postings_dir))
+    assert recover_compaction(d) == "rolled_back"
+    assert not any(e.endswith(".old") for e in os.listdir(postings_dir))
+    assert json.load(open(os.path.join(d, "manifest.json"))) == manifest_before
+    got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+    # --- crash 2: die AFTER the manifest commit, before cleanup ---
+    monkeypatch.setattr(compact_mod, "_drop_aside", boom)
+    try:
+        compact_index(spark, d)
+        raise AssertionError("crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert any(e.endswith(".old") for e in os.listdir(postings_dir))
+    # a plain re-run heals (rolls forward) and finishes the compaction
+    out = compact_index(spark, d)
+    assert not any(e.endswith(".old") for e in os.listdir(postings_dir))
+    manifest_after = json.load(open(os.path.join(d, "manifest.json")))
+    assert len(manifest_after["buckets"]) < len(manifest_before["buckets"])
+    got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    # idempotent after heal
+    assert compact_index(spark, d)["groups_rewritten"] == 0
+
+
 def test_compaction_preserves_results_and_shrinks_buckets(spark, tmp_path):
     from anisearch_model_spark.config import BM25Params
     from anisearch_model_spark.datagen import gen_transcripts_pandas
