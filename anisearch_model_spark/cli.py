@@ -66,10 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--stream-dir", required=True)
     a.add_argument("--index", required=True)
 
-    c = sub.add_parser("compact", help="merge small append buckets "
-                                       "(long-lived incremental indexes)")
+    c = sub.add_parser("compact", help="merge small append buckets and "
+                                       "purge tombstoned docs")
     c.add_argument("--index", required=True)
     c.add_argument("--target-docs", type=int, default=None)
+
+    d = sub.add_parser("delete", help="tombstone docs (takedown/purge): "
+                                      "queries exclude them immediately; "
+                                      "space reclaims at the next compact")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-id", type=int, action="append", default=[],
+                   help="doc id to delete (repeatable)")
+    d.add_argument("--purge", action="store_true",
+                   help="also physically rewrite affected buckets now")
 
     g = sub.add_parser("datagen", help="write a seeded synthetic corpus")
     g.add_argument("--out", required=True)
@@ -152,6 +161,15 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(compact_index(spark, args.index,
                                            target_docs=args.target_docs)))
+        elif args.cmd == "delete":
+            from anisearch_model_spark.index.tombstones import (
+                delete_docs, purge_deleted)
+
+            n = delete_docs(spark, args.index, args.doc_id)
+            out = {"tombstoned": n}
+            if args.purge:
+                out.update(purge_deleted(spark, args.index))
+            print(json.dumps(out))
         elif args.cmd == "datagen":
             from anisearch_model_spark.datagen import write_transcripts
 

@@ -168,18 +168,27 @@ def compact_index(spark: SparkSession, index_dir: str,
 
     params = params or BM25Params()
     healed = recover_compaction(index_dir)  # heal an interrupted prior run
+    # physically drop tombstoned docs first: merged buckets then never
+    # carry dead postings forward (tombstones.py owns the rewrite)
+    from anisearch_model_spark.index.tombstones import purge_deleted
+
+    purge = purge_deleted(spark, index_dir, params=params)
     with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
         manifest = json.load(f)
     with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
         stats = json.load(f)
     buckets = manifest["buckets"]
-    n_docs = sum(int(c) for _o, c in buckets.values())
+    # manifest counts are doc-id SPAN widths (a purge removes docs without
+    # renumbering ids) — live doc count comes from stats, which
+    # purge_deleted keeps current
+    n_docs = int(stats["n_docs"])
+    span_total = sum(int(c) for _o, c in buckets.values())
     if target_docs is None:
         # the BASE build's bucket count (manifest — appends never touch it;
         # stats.num_buckets tracks the current fragmented count and would
         # make the target shrink as fragmentation grows)
         base_buckets = int(manifest.get("num_buckets") or stats.get("num_buckets", 32))
-        target_docs = max(n_docs // max(base_buckets, 1), 1)
+        target_docs = max(span_total // max(base_buckets, 1), 1)
 
     groups = plan_groups(buckets, int(target_docs))
     rewrite = [g for g in groups if len(g) > 1]
@@ -250,4 +259,5 @@ def compact_index(spark: SparkSession, index_dir: str,
         "buckets_before": before,
         "buckets_after": len(buckets),
         "groups_rewritten": len(rewrite),
+        "purged_docs": purge["purged_docs"],
     }

@@ -85,6 +85,10 @@ def batch_topk(index: IndexStore, queries: pd.DataFrame, k: int = 10,
             ).alias("score")
         )
     )
+    tomb = index.tombstones
+    if len(tomb):
+        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
+        scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
     # limit-FIRST: reduce each partition to its local per-query top-k
     # (running heap across the partition's Arrow batches, k×|queries| rows
     # of state) BEFORE the rank window — the window then sorts

@@ -59,6 +59,8 @@ class IndexStore:
         self._df_cache_max = df_cache_max or self.DF_CACHE_MAX
         self._ranges: list[tuple[int, int, int]] | None = None  # manifest doc ranges
         self._ranges_mtime: float | None = None
+        self._tomb: np.ndarray | None = None  # sorted tombstoned doc ids
+        self._tomb_mtime: float | None = None
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
         from anisearch_model_spark.index.store import INDEX_FORMAT_VERSION
@@ -180,6 +182,21 @@ class IndexStore:
             )
         return int(fs[field]["n_docs"]), float(fs[field]["avgdl"])
 
+    @property
+    def tombstones(self) -> np.ndarray:
+        """Sorted doc ids deleted since the last purge (live-docs filter
+        for both scorers).  Reloaded when the tombstone dir's mtime
+        changes, so deletes issued in the same process take effect on
+        the next query without reopening the store."""
+        path = os.path.join(self.index_dir, "tombstones")
+        mtime = os.path.getmtime(path) if os.path.isdir(path) else None
+        if self._tomb is None or mtime != self._tomb_mtime:
+            from anisearch_model_spark.index.tombstones import load_tombstones
+
+            self._tomb = load_tombstones(self.index_dir)
+            self._tomb_mtime = mtime
+        return self._tomb
+
     # explicit schemas on every reader: an empty index (0-doc corpus)
     # writes directories with no data files, and schema inference would
     # throw UNABLE_TO_INFER_SCHEMA instead of returning empty frames
@@ -291,6 +308,10 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
             ).alias("score")
         )
     )
+    tomb = index.tombstones
+    if len(tomb):
+        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
+        scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.partitionBy(constant_partition("doc_id")).orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -336,6 +357,10 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     _, avgdl = index.field_stats(field)
     k1, b = params.k1, params.b
     bidf = spark.sparkContext.broadcast(idf)
+    tomb = index.tombstones
+    # deleted docs must be excluded DURING scoring (a dead doc in a local
+    # top-k slot would push a live doc out, not just vanish at the end)
+    btomb = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
     blocks = index.postings.filter(F.col("term").isin(list(idf.keys())))
     if field is not None:
@@ -417,6 +442,12 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
                     off = d[a:z] - s_lo
                     local[off] += ps[a:z]
                     hit[off] = True
+            if btomb is not None:
+                td = btomb.value
+                a = int(np.searchsorted(td, s_lo))
+                z = int(np.searchsorted(td, s_hi))
+                if a < z:
+                    hit[td[a:z] - s_lo] = False  # tombstoned: never admit
             # vectorized admission: of the segment's hit docs only ≤k can
             # enter the heap, so select the k best BY SCORE first (keeping
             # every doc tied with the kth score — the (score, -doc_id)

@@ -1,0 +1,126 @@
+"""Tombstone deletes: delete → queries exclude the doc immediately
+(scores of survivors unchanged, Lucene live-docs semantics) → compact →
+the doc is physically gone and the index is consistent."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _build(spark, tmp_path, n=800, buckets=4):
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+
+    d = str(tmp_path / "tomb_idx")
+    build_index(spark, gen_transcripts(spark, n, seed=21), d,
+                num_buckets=buckets)
+    return d
+
+
+def test_delete_excludes_doc_then_purge_drops_it(spark, tmp_path):
+    from anisearch_model_spark.index.compact import compact_index
+    from anisearch_model_spark.index.tombstones import delete_docs
+    from anisearch_model_spark.query.engine import (
+        IndexStore, topk_bmw, topk_exhaustive)
+
+    d = _build(spark, tmp_path)
+    idx = IndexStore(spark, d)
+    q = "hero battle magic"
+    before = topk_exhaustive(idx, q, 10).toPandas()
+    victim = int(before.loc[0, "doc_id"])  # delete the TOP hit
+
+    delete_docs(spark, d, [victim])
+    # same IndexStore instance: the tombstone mtime check reloads
+    for fn in (topk_exhaustive, topk_bmw):
+        after = fn(idx, q, 10).toPandas()
+        assert victim not in set(after["doc_id"])
+        # survivors keep their as-built scores (stats untouched until
+        # purge) — the old ranks 2..10 shift up by one
+        want = before[before["doc_id"] != victim].head(9)
+        assert after.head(9)["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_array_equal(
+            after.head(9)["score"].to_numpy(), want["score"].to_numpy())
+        assert len(after) == 10  # a fresh doc fills the freed slot
+
+    # ---- physical purge via compaction ----
+    n_docs_before = idx.stats["n_docs"]
+    out = compact_index(spark, d)
+    assert out["purged_docs"] == 1
+    assert not os.path.isdir(os.path.join(d, "tombstones"))
+
+    idx2 = IndexStore(spark, d)
+    assert idx2.stats["n_docs"] == n_docs_before - 1
+    # doc_map row physically gone
+    assert idx2.doc_map.filter(f"doc_id = {victim}").count() == 0
+    # no posting block still covers the doc
+    from anisearch_model_spark.index.codec import decode_posting_block
+
+    for row in idx2.postings.collect():
+        ids, _t, _dl = decode_posting_block(
+            {"first_doc_id": row["first_doc_id"],
+             "doc_deltas": row["doc_deltas"], "tfs": row["tfs"],
+             "dls": row["dls"]})
+        assert victim not in ids
+    # engine still healthy, doc still absent, scorers still agree
+    a = topk_exhaustive(idx2, q, 10).toPandas()
+    b = topk_bmw(idx2, q, 10).toPandas()
+    assert victim not in set(a["doc_id"]) and len(a) == 10
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+    # idempotent: nothing left to purge
+    from anisearch_model_spark.index.tombstones import purge_deleted
+
+    assert purge_deleted(spark, d) == {"purged_docs": 0,
+                                       "buckets_rewritten": 0}
+
+
+def test_batch_topk_respects_tombstones(spark, tmp_path):
+    from anisearch_model_spark.index.tombstones import delete_docs
+    from anisearch_model_spark.query.batch import batch_topk
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = _build(spark, tmp_path, n=600, buckets=2)
+    idx = IndexStore(spark, d)
+    queries = pd.DataFrame({"query_id": [1, 2],
+                            "query_text": ["hero battle", "robot space"]})
+    before = batch_topk(idx, queries, k=5).toPandas()
+    victims = [int(before.loc[0, "doc_id"]), int(before.iloc[-1]["doc_id"])]
+    delete_docs(spark, d, victims)
+    after = batch_topk(idx, queries, k=5).toPandas()
+    assert not set(victims) & set(after["doc_id"])
+    assert sorted(after["query_id"].unique()) == [1, 2]
+
+
+def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
+    """Purge is bounded I/O: buckets whose doc-range holds no tombstone
+    keep their files untouched (mtime-stable), and manifest ranges are
+    unchanged (ids are never renumbered)."""
+    from anisearch_model_spark.index.tombstones import (
+        delete_docs, purge_deleted)
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = _build(spark, tmp_path, n=800, buckets=4)
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    # pick a victim from the FIRST bucket's range
+    (lo, n) = sorted(manifest["buckets"].items(),
+                     key=lambda kv: kv[1][0])[0][1]
+    victim = int(lo)
+    postings_dir = os.path.join(d, "postings")
+    untouched = [b for b, (blo, bn) in manifest["buckets"].items()
+                 if not (blo <= victim < blo + bn)]
+    stamp = {b: os.path.getmtime(os.path.join(postings_dir, f"bucket={b}"))
+             for b in untouched}
+
+    delete_docs(spark, d, [victim])
+    out = purge_deleted(spark, d)
+    assert out == {"purged_docs": 1, "buckets_rewritten": 1}
+    for b, t in stamp.items():
+        assert os.path.getmtime(
+            os.path.join(postings_dir, f"bucket={b}")) == t, b
+    # id spans unchanged: bucket pruning stays valid after the purge
+    manifest2 = json.load(open(os.path.join(d, "manifest.json")))
+    assert manifest2["buckets"] == manifest["buckets"]
+    idx = IndexStore(spark, d)
+    assert idx.stats["n_docs"] == 799
