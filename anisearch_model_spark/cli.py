@@ -26,6 +26,84 @@ import json
 import sys
 
 
+def serve_loop(spark, index_dir: str, in_stream, out_stream,
+               log: bool = True) -> int:
+    """Line-oriented query service over ONE session and ONE IndexStore.
+
+    The reference runs a long-lived HTTP service with per-request
+    admission control (``/root/reference/src/api.py:469-541``,
+    ``src/run_server.py:75-93``); this is the dependency-free analog: a
+    request per stdin line — either a bare query string or a JSON object
+    ``{"query": ..., "k": 10, "page": 1, "role": ..., "exhaustive":
+    false}`` — one JSON response line each, ``quit``/``exit``/EOF ends
+    the loop.  Because the IndexStore lives across requests, the LRU
+    (field, term)→df dictionary cache and the negative-term cache
+    actually pay off (query/engine.py:48-59), and each request appends a
+    query_log evaluation row (the reference's per-query eval record,
+    src/test.py:221-274).  Admission errors (>2000-char query, bad
+    JSON) come back as ``{"error": ...}`` responses — the loop never
+    dies mid-service.  Returns the number of requests served.
+    """
+    import time
+
+    from anisearch_model_spark.query.engine import IndexStore, search
+    from anisearch_model_spark.query.log import log_query, result_hash
+
+    idx = IndexStore(spark, index_dir)
+    served = 0
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        if line in ("quit", "exit"):
+            break
+        served += 1
+        try:
+            req = json.loads(line) if line.startswith("{") else {"query": line}
+            if not isinstance(req, dict) or "query" not in req:
+                raise ValueError("request must be a query string or a "
+                                 "JSON object with a 'query' key")
+        except (json.JSONDecodeError, ValueError) as e:
+            out_stream.write(json.dumps({"error": str(e)}) + "\n")
+            out_stream.flush()
+            continue
+        k = int(req.get("k", 10))
+        page = int(req.get("page", 1))
+        role = req.get("role")
+        pruned = not req.get("exhaustive", False)
+        t0 = time.time()
+        try:
+            rows = search(idx, req["query"], k=k, page=page, role=role,
+                          pruned=pruned).collect()
+        except Exception as e:  # noqa: BLE001 — a bad request must not kill the service
+            out_stream.write(json.dumps({"error": str(e)}) + "\n")
+            out_stream.flush()
+            continue
+        wall_ms = (time.time() - t0) * 1000.0
+        if log:
+            import datetime as dt
+
+            try:
+                log_query(
+                    spark, index_dir,
+                    ts=dt.datetime.now(), query_text=req["query"], k=k,
+                    page=page, field=role,
+                    scorer="bmw" if pruned else "exhaustive",
+                    n_results=len(rows),
+                    res_hash=result_hash(
+                        [(r["rank"], r["doc_id"], r["score"]) for r in rows]),
+                    wall_ms=wall_ms,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"warning: query_log append failed: {e}",
+                      file=sys.stderr)
+        out_stream.write(json.dumps(
+            {"query": req["query"], "wall_ms": round(wall_ms, 3),
+             "results": [r.asDict() for r in rows]}, default=str) + "\n")
+        out_stream.flush()
+    return served
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="anisearch_model_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -61,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
                         "pure read and works on read-only index mounts)")
+
+    v = sub.add_parser("serve", help="long-lived query loop: one Spark "
+                                     "session + one IndexStore (hot LRU "
+                                     "dictionary cache) serving many "
+                                     "queries, one per stdin line")
+    v.add_argument("--index", required=True)
+    v.add_argument("--no-log", action="store_true",
+                   help="skip query_log appends (a service normally logs; "
+                        "failures degrade to a warning either way)")
 
     a = sub.add_parser("append", help="incremental index append (streaming)")
     a.add_argument("--stream-dir", required=True)
@@ -151,6 +238,10 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
             for row in rows:
                 print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "serve":
+            n = serve_loop(spark, args.index, sys.stdin, sys.stdout,
+                           log=not args.no_log)
+            print(json.dumps({"served": n}), file=sys.stderr)
         elif args.cmd == "append":
             from anisearch_model_spark.streaming.incremental import incremental_append
 

@@ -415,6 +415,54 @@ def test_stateful_sessionizer_pre_gap_late_event_own_session(spark, tmp_path):
     ]
 
 
+def test_serve_loop_many_queries_one_session(spark, tmp_path):
+    """serve mode: ≥3 queries through ONE session/IndexStore — results
+    match direct search, the hot dictionary cache is reused, a log row
+    appends per served query, and admission errors don't kill the loop."""
+    import io
+    import json as _json
+    from anisearch_model_spark.cli import serve_loop
+    from anisearch_model_spark.datagen import write_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, search
+    from anisearch_model_spark.query.log import read_query_log
+
+    src = str(tmp_path / "srv_in")
+    idx_dir = str(tmp_path / "srv_idx")
+    write_transcripts(spark, src, 800, seed=5)
+    build_index(spark, spark.read.parquet(src), idx_dir, num_buckets=4)
+
+    reqs = [
+        "hero battle magic",
+        _json.dumps({"query": "robot space", "k": 3}),
+        _json.dumps({"query": "hero battle", "k": 2, "exhaustive": True}),
+        "x" * 3000,  # over the 2000-char admission limit → error line
+        "quit",
+        "never reached",
+    ]
+    out = io.StringIO()
+    served = serve_loop(spark, idx_dir, io.StringIO("\n".join(reqs)), out)
+    assert served == 4  # quit stops the loop before line 6
+    lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert len(lines) == 4
+    assert "error" in lines[3] and "2000" in lines[3]["error"]
+
+    idx = IndexStore(spark, idx_dir)
+    want = search(idx, "robot space", k=3).collect()
+    assert lines[1]["results"] == [
+        {k: (str(v) if not isinstance(v, (int, float)) else v)
+         for k, v in r.asDict().items()} for r in want
+    ]
+    assert [r["rank"] for r in lines[0]["results"]] == list(range(1, 11))
+
+    log = read_query_log(spark, idx_dir).toPandas()
+    assert len(log) == 3  # the admission error is not logged
+    assert set(log["query_text"]) == {"hero battle magic", "robot space",
+                                      "hero battle"}
+    assert set(log["scorer"]) == {"bmw", "exhaustive"}
+    assert (log["wall_ms"] > 1.0).all()
+
+
 def test_append_onto_empty_base_index(spark, tmp_path):
     """Streaming append onto a 0-doc base index must work AND must not
     degenerate into one-doc buckets (the old span=n_existing//buckets
