@@ -597,6 +597,22 @@ def sim_ivf(spark, sf_dir):
     return ivf.query(e, qvec, k=10)
 
 
+def sim_ivf_refined(spark, sf_dir):
+    """IVF with ONE Lloyd refinement step — the variant real deployments
+    run.  Deterministic end-to-end: seed centroids are the 16 smallest
+    vec_ids' embeddings, the Lloyd step is a pure per-list per-dimension
+    mean (groupBy-avg, no RNG), empty lists keep their seed centroid —
+    so the DuckDB oracle reproduces assignment, refinement, probing, and
+    the exact rerank."""
+    from anisearch_model_spark.operators.similarity import IVFIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    ivf = IVFIndex(n_lists=16, nprobe=4)
+    ivf._fit_centroids(e, "vec_id", "embedding", refine=1)
+    return ivf.query(e, qvec, k=10)
+
+
 # ---------------------------------------------------------------------------
 # fulltext BM25 (documents) — the flagship
 # ---------------------------------------------------------------------------
@@ -854,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf": sim_ivf,
+        "sim_ivf_refined": sim_ivf_refined,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
@@ -1517,6 +1534,86 @@ def oracle_sql() -> dict[str, str]:
                 FROM vc) WHERE rn = 1),
             probe AS (
               SELECT list_id FROM vc WHERE vec_id = 0
+              ORDER BY cos DESC, list_id ASC LIMIT 4),
+            cands AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e JOIN assign a USING (vec_id)
+              JOIN probe p ON a.list_id = p.list_id),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            flat AS (
+              SELECT c2.vec_id, u.i,
+                     c2.embedding[u.i]::double AS dv, qe[u.i]::double AS qv
+              FROM cands c2, q,
+                   unnest(generate_series(1, len(c2.embedding))) u(i)),
+            agg AS (
+              SELECT vec_id, sum(dv * qv) AS dot,
+                     sum(dv * dv) AS nd, sum(qv * qv) AS nq
+              FROM flat GROUP BY vec_id)
+            SELECT row_number() OVER (ORDER BY round(dot / (sqrt(nd) * sqrt(nq)), 4) DESC,
+                                      vec_id ASC)::bigint AS rank,
+                   vec_id,
+                   round(dot / (sqrt(nd) * sqrt(nq)), 4)::double AS cosine
+            FROM agg
+            ORDER BY rank LIMIT 10
+        """,
+        "sim_ivf_refined": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                     embedding AS cemb
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 16)),
+            vc0 AS (
+              SELECT e.vec_id, c.list_id,
+                     round(sum(e.embedding[u.i]::double * c.cemb[u.i]::double
+                               ORDER BY u.i)
+                           / (sqrt(sum(e.embedding[u.i]::double
+                                       * e.embedding[u.i]::double ORDER BY u.i))
+                              * sqrt(sum(c.cemb[u.i]::double
+                                         * c.cemb[u.i]::double ORDER BY u.i))),
+                           6) AS cos
+              FROM embeddings e, cents c,
+                   unnest(generate_series(1, 64)) u(i)
+              GROUP BY e.vec_id, c.list_id),
+            assign0 AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, list_id ASC) rn
+                FROM vc0) WHERE rn = 1),
+            means AS (
+              SELECT a.list_id, u.i,
+                     avg(e.embedding[u.i]::double) AS m
+              FROM embeddings e JOIN assign0 a USING (vec_id),
+                   unnest(generate_series(1, 64)) u(i)
+              GROUP BY a.list_id, u.i),
+            marr AS (
+              SELECT list_id, list(m ORDER BY i) AS arr
+              FROM means GROUP BY list_id),
+            cents1 AS (
+              SELECT c.list_id,
+                     coalesce(a.arr,
+                              list_transform(c.cemb, x -> x::double)) AS cemb
+              FROM cents c LEFT JOIN marr a USING (list_id)),
+            vc1 AS (
+              SELECT e.vec_id, c.list_id,
+                     round(sum(e.embedding[u.i]::double * c.cemb[u.i]
+                               ORDER BY u.i)
+                           / (sqrt(sum(e.embedding[u.i]::double
+                                       * e.embedding[u.i]::double ORDER BY u.i))
+                              * sqrt(sum(c.cemb[u.i] * c.cemb[u.i]
+                                         ORDER BY u.i))),
+                           6) AS cos
+              FROM embeddings e, cents1 c,
+                   unnest(generate_series(1, 64)) u(i)
+              GROUP BY e.vec_id, c.list_id),
+            assign AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, list_id ASC) rn
+                FROM vc1) WHERE rn = 1),
+            probe AS (
+              SELECT list_id FROM vc1 WHERE vec_id = 0
               ORDER BY cos DESC, list_id ASC LIMIT 4),
             cands AS (
               SELECT e.vec_id, e.embedding
