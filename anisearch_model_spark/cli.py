@@ -164,6 +164,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-id", type=int, action="append", default=[],
                    help="doc id to delete (repeatable)")
+    d.add_argument("--conv-id", action="append", default=[],
+                   help="delete every turn of this conversation (repeatable)")
     d.add_argument("--purge", action="store_true",
                    help="also physically rewrite affected buckets now")
 
@@ -254,9 +256,10 @@ def main(argv: list[str] | None = None) -> int:
                                            target_docs=args.target_docs)))
         elif args.cmd == "delete":
             from anisearch_model_spark.index.tombstones import (
-                delete_docs, purge_deleted)
+                delete_conversations, delete_docs, purge_deleted)
 
             n = delete_docs(spark, args.index, args.doc_id)
+            n += delete_conversations(spark, args.index, args.conv_id)
             out = {"tombstoned": n}
             if args.purge:
                 out.update(purge_deleted(spark, args.index))

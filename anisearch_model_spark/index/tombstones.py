@@ -57,6 +57,29 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return len(ids)
 
 
+def delete_conversations(spark: SparkSession, index_dir: str,
+                         conv_ids: Iterable[str]) -> int:
+    """Takedown by the user-facing key: tombstone every turn (doc) of the
+    given conversations.  The doc_map lookup pushes a ``conv_id IN``
+    filter to the Parquet scan; only the matching doc ids (≤ turns per
+    conversation × |conv_ids|) reach the driver."""
+    from pyspark.sql import functions as F
+
+    from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
+
+    ids = sorted({str(c) for c in conv_ids})
+    if not ids:
+        return 0
+    rows = (
+        spark.read.schema(BUCKETED_SCHEMA)
+        .parquet(os.path.join(index_dir, "doc_map"))
+        .filter(F.col("conv_id").isin(ids))
+        .select("doc_id")
+        .collect()
+    )
+    return delete_docs(spark, index_dir, (r["doc_id"] for r in rows))
+
+
 def load_tombstones(index_dir: str) -> np.ndarray:
     """Sorted unique tombstoned doc ids (driver-side pyarrow read — the
     table is bounded by deletes since the last purge, and the scorers

@@ -40,11 +40,29 @@ def _host_probe() -> float:
     return round(time.time() - t0, 2)
 
 
+def _wait_for_healthy_host(max_wait_sec: float, threshold: float = 1.0,
+                           poll_sec: float = 20.0) -> tuple[float, float]:
+    """Poll the probe until the host is healthy or the budget runs out.
+
+    The throttle windows last minutes (round-3 forensics: a 70×-degraded
+    mid-suite probe produced un-attributable numbers); a bounded wait
+    costs little and makes the recorded run measure the ENGINE.  Returns
+    (final probe reading, seconds waited).
+    """
+    t0 = time.time()
+    p = _host_probe()
+    while p > threshold and time.time() - t0 < max_wait_sec:
+        time.sleep(poll_sec)
+        p = _host_probe()
+    return p, round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_turns = int(os.environ.get("BENCH_TURNS", "500000"))
-    probe_start = _host_probe()
+    max_wait = float(os.environ.get("BENCH_WAIT_HEALTHY_SEC", "300"))
+    probe_start, waited = _wait_for_healthy_host(max_wait)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -187,6 +205,7 @@ def main() -> None:
                 "host_probe_sec_start": probe_start,
                 "host_probe_sec_end": _host_probe(),
                 "host_probe_healthy_sec": 0.5,
+                "host_wait_sec": waited,
             }
         )
     )

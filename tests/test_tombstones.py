@@ -93,6 +93,30 @@ def test_batch_topk_respects_tombstones(spark, tmp_path):
     assert sorted(after["query_id"].unique()) == [1, 2]
 
 
+def test_delete_conversations_tombstones_every_turn(spark, tmp_path):
+    """Takedown by the user-facing key: every turn of the conversation is
+    tombstoned and both scorers exclude them."""
+    from anisearch_model_spark.index.tombstones import (
+        delete_conversations, load_tombstones)
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+
+    d = _build(spark, tmp_path, n=600, buckets=2)
+    idx = IndexStore(spark, d)
+    top = topk_bmw(idx, "hero battle magic", 5).toPandas()
+    victim_doc = int(top.loc[0, "doc_id"])
+    conv = idx.doc_map.filter(f"doc_id = {victim_doc}").collect()[0]["conv_id"]
+    n_turns = idx.doc_map.filter(f"conv_id = '{conv}'").count()
+
+    assert delete_conversations(spark, d, [conv]) == n_turns
+    tomb = load_tombstones(d)
+    assert len(tomb) == n_turns and victim_doc in tomb
+    after = topk_bmw(idx, "hero battle magic", 5).toPandas()
+    dead = set(int(t) for t in tomb)
+    assert not dead & set(after["doc_id"])
+    # unknown conversation: no-op
+    assert delete_conversations(spark, d, ["no-such-conv"]) == 0
+
+
 def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
     """Purge is bounded I/O: buckets whose doc-range holds no tombstone
     keep their files untouched (mtime-stable), and manifest ranges are
