@@ -73,8 +73,20 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         pruned = not req.get("exhaustive", False)
         t0 = time.time()
         try:
-            rows = search(idx, req["query"], k=k, page=page, role=role,
-                          pruned=pruned).collect()
+            if req.get("fields"):
+                from anisearch_model_spark.query.multifield import search_fields
+
+                rows = search_fields(idx, req["query"], list(req["fields"]),
+                                     k=k, page=page, pruned=pruned).collect()
+            elif req.get("conversations"):
+                from anisearch_model_spark.query.multifield import (
+                    search_conversations)
+
+                rows = search_conversations(idx, req["query"], k=k,
+                                            page=page, pruned=pruned).collect()
+            else:
+                rows = search(idx, req["query"], k=k, page=page, role=role,
+                              pruned=pruned).collect()
         except Exception as e:  # noqa: BLE001 — a bad request must not kill the service
             out_stream.write(json.dumps({"error": str(e)}) + "\n")
             out_stream.flush()
@@ -91,7 +103,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     scorer="bmw" if pruned else "exhaustive",
                     n_results=len(rows),
                     res_hash=result_hash(
-                        [(r["rank"], r["doc_id"], r["score"]) for r in rows]),
+                        [(r["rank"], r["doc_id"], r["score"]) for r in rows]
+                        if rows and "rank" in rows[0].asDict() else []),
                     wall_ms=wall_ms,
                 )
             except Exception as e:  # noqa: BLE001

@@ -436,16 +436,20 @@ def test_serve_loop_many_queries_one_session(spark, tmp_path):
         "hero battle magic",
         _json.dumps({"query": "robot space", "k": 3}),
         _json.dumps({"query": "hero battle", "k": 2, "exhaustive": True}),
+        _json.dumps({"query": "hero battle", "k": 2, "conversations": True}),
         "x" * 3000,  # over the 2000-char admission limit → error line
         "quit",
         "never reached",
     ]
     out = io.StringIO()
     served = serve_loop(spark, idx_dir, io.StringIO("\n".join(reqs)), out)
-    assert served == 4  # quit stops the loop before line 6
+    assert served == 5  # quit stops the loop before the last line
     lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
-    assert len(lines) == 4
-    assert "error" in lines[3] and "2000" in lines[3]["error"]
+    assert len(lines) == 5
+    assert "error" in lines[4] and "2000" in lines[4]["error"]
+    conv_hits = lines[3]["results"]
+    assert 1 <= len(conv_hits) <= 2
+    assert len({r["conv_id"] for r in conv_hits}) == len(conv_hits)
 
     idx = IndexStore(spark, idx_dir)
     want = search(idx, "robot space", k=3).collect()
@@ -456,7 +460,7 @@ def test_serve_loop_many_queries_one_session(spark, tmp_path):
     assert [r["rank"] for r in lines[0]["results"]] == list(range(1, 11))
 
     log = read_query_log(spark, idx_dir).toPandas()
-    assert len(log) == 3  # the admission error is not logged
+    assert len(log) == 4  # the admission error is not logged
     assert set(log["query_text"]) == {"hero battle magic", "robot space",
                                       "hero battle"}
     assert set(log["scorer"]) == {"bmw", "exhaustive"}
