@@ -101,7 +101,11 @@ def main() -> None:
                 while f.read(1 << 24):
                     pass
 
+    sys.path.insert(0, REPO)
+    from bench import _host_probe
+
     results = {}
+    probes = {}
     for cores in CORE_LEVELS:
         idx = f"/tmp/asms_scaling_idx_{cores}"
         shutil.rmtree(idx, ignore_errors=True)
@@ -111,6 +115,10 @@ def main() -> None:
         # run-to-run noise without this)
         os.sync()
         time.sleep(15)
+        # per-level environment stamp: the sandbox VM throttles memory
+        # bandwidth 10-100× on a minutes scale; a level measured inside a
+        # throttle window must be attributable (round-3 forensics)
+        probes[cores] = _host_probe()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              str(cores), INPUT, idx],
@@ -134,6 +142,7 @@ def main() -> None:
         "mp_ceiling_eff_8_to_32": round(ceil_eff_8_32, 3),
         "target": 0.8,
         "pass_2_to_8": eff_2_8 >= 0.8,
+        "host_probe_per_level": {str(c): probes[c] for c in CORE_LEVELS},
     }
     print(json.dumps(summary))
 
