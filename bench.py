@@ -99,6 +99,7 @@ def main() -> None:
         t0 = time.time()
         _noop_write(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+    probe_mid = _host_probe()  # attribution: throttle can start mid-suite
 
     # engine: index build throughput + query latency on synthetic transcripts
     idx_dir = "/tmp/asms_bench_index"
@@ -203,6 +204,7 @@ def main() -> None:
                 "bmw_hot_query_sec": hot_bmw,
                 "exhaustive_hot_query_sec": hot_exh,
                 "host_probe_sec_start": probe_start,
+                "host_probe_sec_mid": probe_mid,
                 "host_probe_sec_end": _host_probe(),
                 "host_probe_healthy_sec": 0.5,
                 "host_wait_sec": waited,
