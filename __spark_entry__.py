@@ -555,6 +555,19 @@ def dedup_cluster(spark, sf_dir):
     return dedup_clusters(d, pairs, id_col="doc_id")
 
 
+def dedup_keep_one(spark, sf_dir):
+    """Keep-one near-dup FILTER — the endpoint a training pipeline runs:
+    one canonical row (min doc_id) per transitive near-dup cluster, rows
+    in no pair pass through.  Same bounded slice as dedup_cluster (the
+    operator's full semantics live in tests/test_graph.py)."""
+    from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
+    from anisearch_model_spark.operators.graph import drop_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = minhash_lsh_pairs(d, num_hashes=16, band_size=4, threshold=0.9)
+    return drop_near_duplicates(d, pairs, id_col="doc_id").select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -865,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_near": dedup_simhash_near,
         "dedup_cluster": dedup_cluster,
+        "dedup_keep_one": dedup_keep_one,
         "dedup_embedding": dedup_embedding,
         "a5_corpus_stats": a5_corpus_stats,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1337,6 +1351,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM clustered
+        """,
+        "dedup_keep_one": """
+            WITH RECURSIVE docs AS (
+              SELECT * FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id, t.token
+              FROM docs,
+                   unnest(list_distinct(list_filter(
+                     regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+'),
+                     x -> length(x) > 0))) AS t(token)),
+            sig AS (
+              SELECT doc_id, i, min(md5(i::varchar || ':' || token)) AS minhash
+              FROM toks CROSS JOIN range(16) r(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, (i // 4)::int AS band,
+                     md5(string_agg(minhash, '' ORDER BY i)) AS band_key
+              FROM sig GROUP BY doc_id, (i // 4)::int),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM toks x JOIN toks y USING (token)
+              JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.9),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(src, node) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node),
+            labels AS (
+              SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src),
+            losers AS (SELECT doc_id FROM labels WHERE doc_id != label)
+            SELECT d.doc_id FROM docs d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "dedup_minhash_shingle": """
             WITH ws AS (
