@@ -121,3 +121,23 @@ def test_metadata_probe_prunes_doc_map_partitions(spark, index_dir):
     q = search(idx, "hero battle", k=5)
     assert has_partition_filter(q, "bucket")
     assert has_pushed_filter(q, "doc_id")
+
+
+def test_tombstone_antijoin_broadcasts(spark, index_dir, tmp_path):
+    """The live-docs filter must plan as a broadcast LEFT ANTI join (the
+    tombstone side is bounded by deletes-since-purge) — a SortMergeJoin
+    here would shuffle every scored doc against a handful of ids."""
+    import shutil
+    from anisearch_model_spark.index.tombstones import delete_docs
+    from anisearch_model_spark.plans.inspect import (
+        formatted_plan, uses_sort_merge_join)
+    from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+
+    d = str(tmp_path / "tomb_plan_idx")
+    shutil.copytree(index_dir, d)
+    delete_docs(spark, d, [0, 1, 2])
+    q = topk_exhaustive(IndexStore(spark, d), "hero battle", 5)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert not uses_sort_merge_join(q)
