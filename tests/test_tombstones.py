@@ -117,6 +117,57 @@ def test_delete_conversations_tombstones_every_turn(spark, tmp_path):
     assert delete_conversations(spark, d, ["no-such-conv"]) == 0
 
 
+def test_lifecycle_field_qualified_append_delete_purge_compact(spark, tmp_path):
+    """The whole long-lived-index story on a FIELD-QUALIFIED index:
+    build → append → delete → purge (per-(bucket, field) rewrite) →
+    compact → append again, with field-scoped queries consistent and the
+    dead doc gone throughout."""
+    from anisearch_model_spark.config import BM25Params
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.compact import compact_index
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.index.tombstones import delete_docs
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.streaming.incremental import _append_batch
+
+    full_pdf = gen_transcripts_pandas(1000, seed=41)
+    convs = sorted(full_pdf["conv_id"].unique())
+    cut = convs[len(convs) // 2]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "lc_idx")
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cut], schema), d, num_buckets=2,
+        field_col="role")
+    _append_batch(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] >= cut], schema), d, BM25Params())
+
+    idx = IndexStore(spark, d)
+    q = "hero battle magic"
+    top_user = topk_bmw(idx, q, 5, field="user").toPandas()
+    victim = int(top_user.loc[0, "doc_id"])
+    delete_docs(spark, d, [victim])
+    out = compact_index(spark, d)  # purge + merge in one maintenance op
+    assert out["purged_docs"] == 1
+
+    idx2 = IndexStore(spark, d)
+    assert idx2.stats["n_docs"] == 999
+    # per-field stats re-derived: the victim was a user-field doc
+    assert idx2.stats["fields"]["user"]["n_docs"] == \
+        idx.stats["fields"]["user"]["n_docs"] - 1
+    for f in ("user", "assistant", None):
+        got = topk_bmw(idx2, q, 5, field=f).toPandas()
+        assert victim not in set(got["doc_id"]), f
+        assert len(got) == 5, f
+
+    # the purged+compacted index keeps accepting appends
+    extra = gen_transcripts_pandas(1200, seed=41).iloc[1000:]
+    _append_batch(spark, spark.createDataFrame(extra, schema), d, BM25Params())
+    idx3 = IndexStore(spark, d)
+    assert idx3.stats["n_docs"] == 1199
+    assert topk_bmw(idx3, q, 5, field="user").count() == 5
+
+
 def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
     """Purge is bounded I/O: buckets whose doc-range holds no tombstone
     keep their files untouched (mtime-stable), and manifest ranges are
