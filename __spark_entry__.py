@@ -703,6 +703,60 @@ def bm25_topk_documents(spark, sf_dir):
     )
 
 
+def bm25_topk_live_docs(spark, sf_dir):
+    """Tombstone-delete lifecycle witnessed CROSS-ENGINE: build a REAL
+    index over documents, tombstone the ranking's top-3 doc_ids
+    (takedown), and return the post-delete BM25 top-10 through the
+    engine's block-max scorer with its live-docs tombstone mask
+    (index/tombstones.py, query/engine.py segment admission).  The oracle
+    scores the same corpus in SQL and excludes the same 3 docs with a
+    WHERE — corpus stats (n_docs, avgdl, df) stay FULL-corpus on both
+    sides, exactly the engine's deletes-don't-change-stats-until-purge
+    contract.  The dead set is chosen by (round(score, 4) DESC, doc_id
+    ASC) so both engines select identically at the suite's comparison
+    precision.  Reference anchor: takedown there is a full index rebuild
+    (src/sbert.py:336-356); here it is an O(deletes) tombstone append.
+    """
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.index.tombstones import delete_docs
+    from anisearch_model_spark.query.engine import IndexStore, search
+
+    d = _t(spark, sf_dir, "documents")
+    # documents → transcript shape; zero-padded conv_id keeps the engine's
+    # (conv_id, turn_idx) doc ordering identical to doc_id order, so the
+    # internal id is a monotone map of the original id (tie-breaks align)
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_live_docs_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    q = " ".join(_BM25_QUERY_TERMS)
+    # dead set = top-3 by (rounded score, id); over-fetch so equal-rounded
+    # runs deeper than the raw top-3 still select identically to the SQL
+    pre = search(idx, q, k=25, with_metadata=False).collect()
+    dead = [int(r["doc_id"]) for r in sorted(
+        pre, key=lambda r: (-round(r["score"], 4), r["doc_id"])
+    )[:3]]
+    delete_docs(spark, idx_dir, dead)
+    out = search(idx, q, k=10)  # tombstones reload via mtime — no reopen
+    return out.select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 _BATCH_QUERY_TERMS = {1: ("spark", "join"), 2: ("window", "filter"),
                       3: ("query", "spark")}
 
@@ -886,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": sim_ivf,
         "sim_ivf_refined": sim_ivf_refined,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_topk_live_docs": bm25_topk_live_docs,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
         "multimodal_features": multimodal_features,
@@ -1721,6 +1776,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_topk_live_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.doc_id),
+            dead AS (SELECT doc_id FROM scored
+                     ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 3)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
+            FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+            ORDER BY rank LIMIT 10
         """,
         "bm25_batch_topk": f"""
             WITH toks AS (

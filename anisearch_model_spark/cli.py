@@ -63,20 +63,31 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             if not isinstance(req, dict) or "query" not in req:
                 raise ValueError("request must be a query string or a "
                                  "JSON object with a 'query' key")
-        except (json.JSONDecodeError, ValueError) as e:
+            # admission covers parameter coercion too: {"k": "abc"} must
+            # come back as an error response, never kill the loop
+            k = int(req.get("k", 10))
+            page = int(req.get("page", 1))
+            role = req.get("role")
+            pruned = not req.get("exhaustive", False)
+            fields = req.get("fields")
+            if fields is not None:
+                if isinstance(fields, str):
+                    fields = [f.strip() for f in fields.split(",") if f.strip()]
+                elif isinstance(fields, (list, tuple)):
+                    fields = [str(f) for f in fields]
+                else:
+                    raise ValueError("'fields' must be a list of field names "
+                                     "or a comma-separated string")
+        except (json.JSONDecodeError, ValueError, TypeError) as e:
             out_stream.write(json.dumps({"error": str(e)}) + "\n")
             out_stream.flush()
             continue
-        k = int(req.get("k", 10))
-        page = int(req.get("page", 1))
-        role = req.get("role")
-        pruned = not req.get("exhaustive", False)
         t0 = time.time()
         try:
-            if req.get("fields"):
+            if fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
-                rows = search_fields(idx, req["query"], list(req["fields"]),
+                rows = search_fields(idx, req["query"], fields,
                                      k=k, page=page, pruned=pruned).collect()
             elif req.get("conversations"):
                 from anisearch_model_spark.query.multifield import (

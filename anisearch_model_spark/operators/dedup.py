@@ -54,13 +54,16 @@ def _tokens(df: DataFrame, id_col: str, text_col: str,
         ).otherwise(F.array().cast("array<string>"))
     else:
         units = words
+    # no .distinct() here: array_distinct already makes rows unique per
+    # (doc_id, token), and a distinct would plan a full exchange of the
+    # LARGEST intermediate in every content-dedup operator (~10-40× the
+    # corpus row count) for nothing — test_plans asserts its absence
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(units)).alias("token"),
         )
         .filter(F.length("token") > 0)
-        .distinct()
     )
 
 
@@ -71,15 +74,18 @@ def _tokens(df: DataFrame, id_col: str, text_col: str,
 # some old plan still references is safe — Spark just recomputes it.
 # (Eagerly materializing the result instead — localCheckpoint — executes
 # the plan through the RDD path, losing AQE: measured 4× slower at sf0.1.)
-_token_caches: list[DataFrame] = []
+# Keyed by SparkSession so interleaved runs on different sessions
+# (threads, serve-mode extensions) can't unpersist each other's caches.
+_token_caches: dict[int, list[DataFrame]] = {}
 
 
 def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str,
                        shingle_size: int = 1) -> DataFrame:
-    while _token_caches:
-        _token_caches.pop().unpersist()
+    mine = _token_caches.setdefault(id(df.sparkSession), [])
+    while mine:
+        mine.pop().unpersist()
     toks = _tokens(df, id_col, text_col, shingle_size).cache()
-    _token_caches.append(toks)
+    mine.append(toks)
     return toks
 
 

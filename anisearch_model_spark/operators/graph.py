@@ -47,13 +47,40 @@ from pyspark.sql.window import Window
 # same cache policy as operators/dedup.py::_token_caches — the final label
 # relation must stay cached for the caller's downstream reads, but must
 # not LEAK executor storage across repeated runs in one session: each run
-# releases the previous run's caches (≤1 run resident at a time).
-_label_caches: list[DataFrame] = []
+# releases the previous run's caches (≤1 run resident per SESSION at a
+# time).  The registry is keyed by SparkSession so interleaved runs on
+# different sessions (threads, serve-mode extensions) can't unpersist
+# each other's caches.
+_label_caches: dict[int, list[DataFrame]] = {}
+
+
+def _session_caches(df: DataFrame) -> list[DataFrame]:
+    return _label_caches.setdefault(id(df.sparkSession), [])
 
 
 def _register(df: DataFrame) -> DataFrame:
-    _label_caches.append(df)
+    _session_caches(df).append(df)
     return df
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'd DataFrame's blocks IMMEDIATELY.
+
+    ``DataFrame.unpersist()`` goes through the cacheManager and is a
+    verified NO-OP for localCheckpoint blocks (they belong to the
+    checkpointed RDD, not a cached query), so a CC run that only called
+    unpersist would accumulate a full label-set copy per round in
+    block-manager storage until a JVM GC + ContextCleaner cycle.  The
+    blocks are owned by the LogicalRDD in the frame's analyzed plan;
+    unpersisting THAT rdd frees them now.  Only call on frames no plan
+    will read again — a freed local checkpoint cannot be recomputed.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort release, never fail the op
+        pass
 
 
 def connected_components(
@@ -68,8 +95,14 @@ def connected_components(
     least one pair are returned (isolated nodes have no edges to learn
     from — callers add singletons, see ``dedup_clusters``).
     """
-    while _label_caches:
-        _label_caches.pop().unpersist()
+    # soft-release the previous run's FINAL label relation: a hard free
+    # would error (not recompute) under a caller still holding it, so we
+    # drop the reference and let ContextCleaner reclaim it — one |V|-row
+    # relation per session, bounded.  Intermediate rounds (the O(rounds)
+    # growth) are hard-freed inside the loop below.
+    mine = _session_caches(pairs)
+    while mine:
+        mine.pop().unpersist()
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -88,6 +121,7 @@ def connected_components(
     )
     row = labels.agg(F.sum("label")).collect()[0]
     if row[0] is None:  # no edges → no labeled nodes
+        _free_local_checkpoint(edges)
         return _register(labels)
     prev_sum = row[0]
     for _ in range(max_iter):
@@ -116,11 +150,17 @@ def connected_components(
             .select("node", F.col("_l2").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # nxt is materialized (eager), so the superseded round's blocks
+        # are dead weight — free them NOW or block-manager storage grows
+        # O(rounds) with a full label-set copy per iteration
+        _free_local_checkpoint(cand)
+        _free_local_checkpoint(labels)
         cur_sum = nxt.agg(F.sum("label")).collect()[0][0]
         labels = nxt
         if cur_sum == prev_sum:  # labels are non-increasing ⇒ fixpoint
             break
         prev_sum = cur_sum
+    _free_local_checkpoint(edges)
     return _register(labels)
 
 

@@ -74,6 +74,15 @@ def generate_count(df: DataFrame) -> int:
     return len(re.findall(r"Generate \(\d+\)", formatted_plan(df)))
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) nodes in the plan-tree overview —
+    each is a full materialize-and-repartition of its input, so operators
+    assert a budget on them."""
+    import re
+
+    return len(re.findall(r"Exchange \(\d+\)", formatted_plan(df)))
+
+
 def takes_ordered_and_project(df: DataFrame) -> bool:
     """ORDER BY + LIMIT planned as a per-partition heap (no full sort)."""
     return "TakeOrderedAndProject" in formatted_plan(df)

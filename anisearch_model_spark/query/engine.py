@@ -84,28 +84,48 @@ class IndexStore:
                     f"index"
                 )
 
+    # sniff breadth: how many parquet files and how many blocks per file
+    # the missing-version fallback inspects before accepting an index
+    SNIFF_FILES = 4
+    SNIFF_BLOCKS = 16
+
     def _sniff_flag_prefixed(self) -> bool:
-        """True if a sampled posting buffer starts with a known codec flag
-        byte — the pre-stats-marker compatibility check (driver-side
-        pyarrow read of one parquet file; no Spark job)."""
+        """True iff EVERY sampled posting buffer — all three of
+        (doc_deltas, tfs, dls), across up to SNIFF_BLOCKS blocks in each
+        of up to SNIFF_FILES files — starts with a known codec flag byte.
+
+        This is the missing-version compatibility check (driver-side
+        pyarrow reads, no Spark job).  A single buffer's first byte is a
+        weak signal: a pre-flag legacy varint payload whose first delta
+        byte happens to be 0x56/0x50 would be silently mis-decoded.
+        Requiring a valid flag on 3 buffers × many blocks drives the
+        false-accept probability to ~(2/256)^(3·blocks) — effectively
+        zero — while still letting byte-compatible flag-era indexes that
+        merely predate the stats stamp open without a rebuild.  An empty
+        index (no blocks anywhere) is rejected: there is nothing to
+        verify, and forcing a rebuild of an empty index is free.
+        """
         import glob
 
         import pyarrow.parquet as pq
 
         from anisearch_model_spark.index.codec import FLAG_PFOR, FLAG_VARINT
 
-        files = glob.glob(
+        files = sorted(glob.glob(
             os.path.join(self.index_dir, "postings", "**", "*.parquet"),
             recursive=True,
-        )
-        for path in sorted(files):
-            t = pq.read_table(path, columns=["doc_deltas"])
-            col = t.column("doc_deltas")
-            if len(col) == 0:
-                continue
-            buf = col[0].as_py()
-            return bool(buf) and buf[:1] in (FLAG_VARINT, FLAG_PFOR)
-        return False
+        ))
+        checked = 0
+        for path in files[: self.SNIFF_FILES]:
+            t = pq.read_table(path, columns=["doc_deltas", "tfs", "dls"])
+            n = min(len(t), self.SNIFF_BLOCKS)
+            for i in range(n):
+                for col in ("doc_deltas", "tfs", "dls"):
+                    buf = t.column(col)[i].as_py()
+                    if not buf or buf[:1] not in (FLAG_VARINT, FLAG_PFOR):
+                        return False
+                checked += 1
+        return checked > 0
 
     def term_dfs(self, terms: list[str],
                  field: str | None = None) -> dict[str, int]:

@@ -101,18 +101,39 @@ def search_fields(index, query_text: str, fields: list[str], k: int = 10,
 
     assert isinstance(index, IndexStore) and fields
     fn = topk_bmw if pruned else topk_exhaustive
-    cand_k = page * k * 5
-    per_field = [
-        fn(index, query_text, cand_k, field=f).select(
-            F.lit(f).alias("field"), "doc_id", "score"
-        )
-        for f in fields
-    ]
-    all_cands = reduce(lambda a, b: a.unionByName(b), per_field)
-    # collect the |fields|·cand_k candidates, prune the doc_map probe to
-    # their bucket partitions (never a full doc_map scan per query)
-    cands, meta = probe_doc_map(index, all_cands, ["doc_id", "conv_id"])
-    cands = cands.join(F.broadcast(meta), "doc_id")
+    # ADAPTIVE over-fetch: start at 5× the page need and DOUBLE until the
+    # page holds page·k distinct conv_ids or every field's candidates are
+    # exhausted — a fixed multiplier under-fills the page whenever a few
+    # hot conversations own more than 5·page·k of the top turns.  Each
+    # round's candidates are already collected (probe_doc_map), so the
+    # fill check is a driver-side set-size, not an extra Spark job.
+    need = page * k
+    cand_k = need * 5
+    for _ in range(32):  # corpus exhaustion terminates long before this
+        per_field = [
+            fn(index, query_text, cand_k, field=f).select(
+                F.lit(f).alias("field"), "doc_id", "score"
+            )
+            for f in fields
+        ]
+        all_cands = reduce(lambda a, b: a.unionByName(b), per_field)
+        # collect the |fields|·cand_k candidates, prune the doc_map probe
+        # to their bucket partitions (never a full doc_map scan per query)
+        local, meta = probe_doc_map(index, all_cands, ["doc_id", "conv_id"])
+        joined = local.join(F.broadcast(meta), "doc_id")
+        rows = joined.collect()
+        fetched_per_field: dict[str, int] = {}
+        for r in rows:
+            fetched_per_field[r["field"]] = fetched_per_field.get(r["field"], 0) + 1
+        n_convs = len({r["conv_id"] for r in rows})
+        if n_convs >= need or all(
+            fetched_per_field.get(f, 0) < cand_k for f in fields
+        ):
+            break
+        cand_k *= 2
+    spark = index.spark
+    cands = (spark.createDataFrame(rows, joined.schema) if rows
+             else spark.createDataFrame([], joined.schema))
     best = dedup_best(cands, "conv_id", score_col="score", field_col="field",
                       id_col="doc_id")
     return rank_and_paginate(best, page, k, "score", "doc_id").select(
@@ -130,21 +151,37 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
         IndexStore, probe_doc_map, topk_bmw, topk_exhaustive)
 
     assert isinstance(index, IndexStore)
-    # over-fetch turns before conv-dedup; the pool scales WITH the page so
-    # deep pages still hold ≥ page*k distinct conv_ids after dedup even
-    # when hot conversations contribute many high-ranking turns
-    cand_k = page * k * 5
-    top_turns = (topk_bmw if pruned else topk_exhaustive)(index, query_text, cand_k)
-    # blank-turn skip BEFORE dedup (reference src/api.py:427-455 drops
-    # blank-synopsis rows before title dedup).  BM25 can't surface a
-    # zero-token doc today, but the guard keeps the dedup contract honest
-    # for any scorer variant that could (metadata boosts, embeddings).
-    # The probe prunes the doc_map scan to the candidates' buckets + ids.
-    cands, meta = probe_doc_map(
-        index, top_turns, ["doc_id", "conv_id", "turn_idx", "role"],
-        meta_filter=F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
-    )
-    cands = cands.join(F.broadcast(meta), "doc_id")
+    # ADAPTIVE over-fetch before conv-dedup: start at 5× the page need
+    # and DOUBLE until the page holds page·k distinct conv_ids or the
+    # candidates are exhausted (the scorer returned fewer turns than
+    # asked) — a fixed pool under-fills the page whenever hot
+    # conversations own more than 5·page·k of the top turns.  The fill
+    # check reuses the already-collected probe rows (driver-side set
+    # size), not an extra Spark job.
+    need = page * k
+    cand_k = need * 5
+    fn = topk_bmw if pruned else topk_exhaustive
+    for _ in range(32):  # corpus exhaustion terminates long before this
+        top_turns = fn(index, query_text, cand_k)
+        # blank-turn skip BEFORE dedup (reference src/api.py:427-455 drops
+        # blank-synopsis rows before title dedup).  BM25 can't surface a
+        # zero-token doc today, but the guard keeps the dedup contract
+        # honest for any scorer variant that could (metadata boosts,
+        # embeddings).  The probe prunes the doc_map scan to the
+        # candidates' buckets + ids.
+        local, meta = probe_doc_map(
+            index, top_turns, ["doc_id", "conv_id", "turn_idx", "role"],
+            meta_filter=F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+        )
+        n_fetched = local.count()  # local candidate frame — no cluster scan
+        joined = local.join(F.broadcast(meta), "doc_id")
+        rows = joined.collect()
+        if len({r["conv_id"] for r in rows}) >= need or n_fetched < cand_k:
+            break
+        cand_k *= 2
+    spark = index.spark
+    cands = (spark.createDataFrame(rows, joined.schema) if rows
+             else spark.createDataFrame([], joined.schema))
     best = dedup_best(cands, "conv_id", score_col="score", field_col="role",
                       id_col="doc_id")
     return rank_and_paginate(best.drop("rank"), page, k, "score", "doc_id").select(

@@ -3,11 +3,15 @@
 
 The batch sessionizer (events_sessionize entry) needs the whole history;
 this is the STREAMING form: per-user session state lives in the state
-store, sessions that span micro-batches merge, a session closes either
-when a later event arrives past the inactivity gap (emitted in that
-batch) or when the event-time watermark passes ``last_ts + gap``
-(event-time TIMEOUT — emitted without needing another event from that
-user).  Emission is append-only and exactly-once under the checkpoint.
+store, sessions that span micro-batches merge, and a session is emitted
+exactly when it becomes WATERMARK-FINAL — the event-time watermark has
+passed ``session_end + gap``, so no admissible future event can extend
+or bridge it (closing any earlier, e.g. on the arrival of a post-gap
+later event, can fragment sessions a batch run would merge whenever
+``late_tolerance > gap``).  The watermark advance that finalizes a
+session reaches the operator either with that user's next event or via
+event-time TIMEOUT (no further events needed).  Emission is append-only
+and exactly-once under the checkpoint.
 
 Scale shape: state is one tiny row per ACTIVE user (bounded by the gap
 horizon, not stream length); the shuffle key is user_id (naturally flat);
@@ -29,7 +33,15 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
 )
-_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+# LIST-valued state: ALL of a user's not-yet-watermark-final session
+# intervals, parallel arrays sorted by start.  A single-interval state
+# would have to close earlier intervals the moment a later event arrives
+# — but an interval is only FINAL once the watermark passes its
+# end + gap (any admitted future event has ts >= watermark, so only then
+# can nothing merge with or bridge into it).  Closing earlier emits
+# fragments a batch sessionizer would have merged (e.g. two pre-gap late
+# events landing in separate micro-batches within the gap of each other).
+_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _session_fn(gap_ms: int):
@@ -37,30 +49,22 @@ def _session_fn(gap_ms: int):
 
     def fn(key, pdfs, state):
         (user_id,) = key
-        if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {"user_id": [user_id],
-                 "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                 "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                 "n_events": [n]}
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
-        # Sessionize as an INTERVAL MERGE: the stored open session is a
-        # (start, end, n) interval, each batch event a point interval;
-        # sort by start and coalesce neighbors within the gap.  This
-        # both lets a late-but-within-watermark event extend the open
-        # session backwards AND closes a pre-gap late event (older than
-        # session_start by more than the gap, reachable whenever
-        # late_tolerance > gap) as its own earlier session instead of
-        # absorbing it into a session spanning a silence longer than
-        # the gap.
-        intervals = [(t, t, 1) for t in ts_ms]
+        wm = state.getCurrentWatermarkMs()
+        # Sessionize as an INTERVAL MERGE: stored intervals plus each
+        # batch event as a point interval; sort by start and coalesce
+        # neighbors within the gap.  This lets a late-but-within-
+        # watermark event extend a session backwards, start its own
+        # earlier session (pre-gap late event), or BRIDGE two stored
+        # intervals into one.
+        intervals: list[tuple[int, int, int]] = []
         if state.exists:
-            intervals.append(tuple(state.get))
+            starts, lasts, ns = state.get
+            intervals += [(int(s), int(l), int(n))
+                          for s, l, n in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+            intervals += [(t, t, 1) for t in ts_ms]
         intervals.sort()
         merged: list[tuple[int, int, int]] = []
         for s, e, cnt in intervals:
@@ -69,16 +73,25 @@ def _session_fn(gap_ms: int):
                 merged[-1] = (ps, max(pe, e), pn + cnt)
             else:
                 merged.append((s, e, cnt))
-        # all but the latest interval are already gap-separated in the
-        # past — close them now; the latest stays open in state
-        closed = merged[:-1]
-        start_ms, last_ms, n = merged[-1]
-        state.update((start_ms, last_ms, n))
-        # event-time timeout: flush the open session once the watermark
-        # passes last_ms + gap (must stay strictly above the watermark)
-        state.setTimeoutTimestamp(
-            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        # close EXACTLY the watermark-final intervals: end + gap < wm
+        # means every admissible future event (ts >= wm) is > gap past
+        # the end and > gap past the start, so the interval can neither
+        # be extended nor bridged — it is the batch-sessionizer result
+        closed = [iv for iv in merged if iv[1] + gap_ms < wm]
+        kept = [iv for iv in merged if iv[1] + gap_ms >= wm]
+        if kept:
+            state.update((
+                [s for s, _l, _n in kept],
+                [l for _s, l, _n in kept],
+                [n for _s, _l, n in kept],
+            ))
+            # event-time timeout: wake when the EARLIEST kept interval
+            # becomes final (must stay strictly above the watermark)
+            state.setTimeoutTimestamp(
+                max(min(l + gap_ms for _s, l, _n in kept), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {"user_id": [user_id] * len(closed),

@@ -359,14 +359,22 @@ def test_stateful_sessionizer_late_event_merge(spark, tmp_path):
     # batch 2: LATE event at minute 7 (≥ watermark) — precedes the stored
     # session start; must extend start to 7 and keep end at 10
     feed([(1, 7)])
-    # batch 3: minute 41 — 31 min after the TRUE session end (10), so the
-    # session closes by gap; with the bug last_ms was 7 and the closed
-    # session came out as (8, 7) — end before start
+    # batch 3: minute 41 — past the gap, so [7, 10] can no longer grow
+    # FORWARD, but the watermark is only 36 (41-5) afterwards: an
+    # admissible event at e.g. 38 could still merge with it, so it must
+    # NOT close yet (premature close here mis-fragments vs a batch run)
     feed([(1, 41)])
+    assert closed_sessions(spark, out_dir).count() == 0
+    # batch 4: minute 100 lifts the watermark to 95 > both 10+30 and
+    # 41+30 — now [7, 10] and [41, 41] are watermark-final and close;
+    # with the old min/max-anchor bug last_ms was 7 and the first
+    # session came out as (8, 7) — end before start
+    feed([(1, 100)])
     rows = [(r["session_start"], r["session_end"], r["n_events"])
             for r in closed_sessions(spark, out_dir).collect()]
     assert rows == [
-        (t0 + dt.timedelta(minutes=7), t0 + dt.timedelta(minutes=10), 3)
+        (t0 + dt.timedelta(minutes=7), t0 + dt.timedelta(minutes=10), 3),
+        (t0 + dt.timedelta(minutes=41), t0 + dt.timedelta(minutes=41), 1),
     ]
 
 
@@ -415,6 +423,53 @@ def test_stateful_sessionizer_pre_gap_late_event_own_session(spark, tmp_path):
     ]
 
 
+def test_stateful_sessionizer_pre_gap_late_events_merge_across_batches(
+        spark, tmp_path):
+    """Two pre-gap late events within the gap of EACH OTHER but arriving
+    in separate micro-batches must come out as ONE merged session (what a
+    batch sessionizer produces) — closing each the moment it trails the
+    open session would emit two fragments within the gap of each other."""
+    import datetime as dt
+    import os
+    from anisearch_model_spark.streaming.stateful import (
+        closed_sessions, sessionize_stream)
+    from anisearch_model_spark.streaming.windowed import EVENT_SCHEMA
+
+    events_dir = str(tmp_path / "pm_in")
+    out_dir = str(tmp_path / "pm_out")
+    ckpt = str(tmp_path / "pm_ckpt")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    seq = [0]
+
+    def feed(specs):
+        rows = [(seq[0] + i, t0 + dt.timedelta(minutes=m), uid, "click", 1.0, None)
+                for i, (uid, m) in enumerate(specs)]
+        seq[0] += len(specs)
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(events_dir)
+        sessionize_stream(spark, events_dir, out_dir, ckpt,
+                          gap="10 minutes", late_tolerance="60 minutes")
+
+    # batch 1: open session [100, 100]; watermark advances to 40
+    feed([(1, 100)])
+    # batches 2 and 3: late events at 50 then 55 — separate micro-batches,
+    # both > gap before the open session, but only 5 min apart
+    feed([(1, 50)])
+    feed([(1, 55)])
+    # batch 4: minute 200 lifts the watermark to 140 — [50, 55] and
+    # [100, 100] are final; [200, 200] stays open
+    feed([(1, 200)])
+    rows = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in closed_sessions(spark, out_dir).collect()
+    )
+    assert rows == [
+        (t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=55), 2),
+        (t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=100), 1),
+    ]
+
+
 def test_serve_loop_many_queries_one_session(spark, tmp_path):
     """serve mode: ≥3 queries through ONE session/IndexStore — results
     match direct search, the hot dictionary cache is reused, a log row
@@ -438,15 +493,26 @@ def test_serve_loop_many_queries_one_session(spark, tmp_path):
         _json.dumps({"query": "hero battle", "k": 2, "exhaustive": True}),
         _json.dumps({"query": "hero battle", "k": 2, "conversations": True}),
         "x" * 3000,  # over the 2000-char admission limit → error line
+        _json.dumps({"query": "hero", "k": "abc"}),      # bad k → error line
+        _json.dumps({"query": "hero", "fields": 42}),    # bad fields type
+        _json.dumps({"query": "hero battle", "k": 2,     # string fields OK:
+                     "fields": "user,assistant"}),       # split on commas
         "quit",
         "never reached",
     ]
     out = io.StringIO()
     served = serve_loop(spark, idx_dir, io.StringIO("\n".join(reqs)), out)
-    assert served == 5  # quit stops the loop before the last line
+    assert served == 8  # quit stops the loop before the last line
     lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
-    assert len(lines) == 5
+    assert len(lines) == 8
     assert "error" in lines[4] and "2000" in lines[4]["error"]
+    # parameter-coercion failures are ADMISSION errors, not loop killers
+    assert "error" in lines[5]
+    assert "error" in lines[6] and "fields" in lines[6]["error"]
+    # a comma-separated fields STRING parses as a field list (not
+    # per-character iteration) — the index isn't field-qualified, so the
+    # response is a clean per-request error naming the missing field
+    assert "error" in lines[7] and "user" in lines[7]["error"]
     conv_hits = lines[3]["results"]
     assert 1 <= len(conv_hits) <= 2
     assert len({r["conv_id"] for r in conv_hits}) == len(conv_hits)

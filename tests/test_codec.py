@@ -95,9 +95,14 @@ def test_pfor_width64_values_roundtrip():
 def test_index_store_format_version_gate(spark, tmp_path):
     """stats.json version gate: a PRESENT-but-different version always
     rejects; a MISSING version (index predates the stats stamp) falls
-    back to sniffing one posting buffer's codec flag byte and accepts a
-    byte-compatible flag-prefixed index instead of forcing a rebuild."""
-    import json, os
+    back to sniffing EVERY posting buffer (doc_deltas, tfs, dls) of the
+    sampled blocks for a codec flag byte and accepts a byte-compatible
+    flag-prefixed index instead of forcing a rebuild — but a single
+    unflagged buffer (a legacy payload whose doc_deltas merely START
+    with 0x56/0x50 by chance) must still reject."""
+    import glob, json, os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from anisearch_model_spark.datagen import gen_transcripts
     from anisearch_model_spark.index.store import build_index
     from anisearch_model_spark.query.engine import IndexStore
@@ -111,6 +116,22 @@ def test_index_store_format_version_gate(spark, tmp_path):
     IndexStore(spark, d)  # accepted via the flag-byte sniff
     stats["index_format_version"] = "bogus-v0"  # genuinely incompatible
     json.dump(stats, open(os.path.join(d, "stats.json"), "w"))
+    with pytest.raises(ValueError, match="format version"):
+        IndexStore(spark, d)
+
+    # strict sniff: strip the flag byte from ONE tfs buffer in the first
+    # sampled file — the legacy-false-accept shape (doc_deltas still
+    # flagged) — and the missing-version fallback must reject
+    del stats["index_format_version"]
+    json.dump(stats, open(os.path.join(d, "stats.json"), "w"))
+    path = sorted(glob.glob(
+        os.path.join(d, "postings", "**", "*.parquet"), recursive=True))[0]
+    t = pq.read_table(path)
+    tfs = t.column("tfs").to_pylist()
+    tfs[0] = b"\x01\x02\x03"  # raw legacy-style payload, no flag byte
+    cols = {name: (pa.array(tfs, type=pa.binary()) if name == "tfs"
+                   else t.column(name)) for name in t.column_names}
+    pq.write_table(pa.table(cols), path)
     with pytest.raises(ValueError, match="format version"):
         IndexStore(spark, d)
 

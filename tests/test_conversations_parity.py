@@ -90,3 +90,41 @@ def test_blank_turn_skip_parity(spark, tmp_path):
     # blank turns never surface
     blank_ids = set(meta.loc[meta["text"].fillna("").str.strip() == "", "doc_id"])
     assert not set(got["doc_id"]) & blank_ids
+
+
+def test_adaptive_overfetch_fills_page_under_hot_conversation(spark, tmp_path):
+    """One conversation owns the top 60 turns for the query — a fixed
+    5·page·k candidate pool (k=10 → 50 turns) dedups to ONE conv_id and
+    under-fills page 1 even though 10 more matching conversations exist.
+    The adaptive over-fetch must double the pool until the page holds k
+    distinct conversations (contract anchor: reference dedup-then-
+    paginate src/api.py:427-466)."""
+    import datetime as dt
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.multifield import search_conversations
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot conversation: 60 SHORT turns → highest BM25 scores for "zebra"
+    for i in range(60):
+        rows.append(("conv_hot", i, "user", f"zebra quick w{i}", None, t0))
+    # 10 other conversations: one LONG matching turn each (lower score)
+    filler = " ".join(f"pad{j}" for j in range(30))
+    for c in range(10):
+        rows.append((f"conv_{c:02d}", 0, "user", f"zebra {filler}", None, t0))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "hot_idx")
+    build_index(spark, spark.createDataFrame(rows, schema), d, num_buckets=3)
+
+    from anisearch_model_spark.query.engine import IndexStore
+
+    idx = IndexStore(spark, d)
+    for pruned in (True, False):
+        got = search_conversations(idx, "zebra", k=10, pruned=pruned).toPandas()
+        assert len(got) == 10, "page 1 under-filled despite 11 matching convs"
+        assert got["conv_id"].is_unique
+        assert got.loc[0, "conv_id"] == "conv_hot"  # best turn still wins
+        assert set(got["conv_id"][1:]) <= {f"conv_{c:02d}" for c in range(10)}
+        assert got["rank"].tolist() == list(range(1, 11))

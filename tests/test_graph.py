@@ -75,3 +75,41 @@ def test_max_iter_guard(spark):
     got = _labels(connected_components(pairs, max_iter=1))
     assert set(got) == set(range(1, 7))
     assert all(lbl in got for lbl in got.values())
+
+
+def test_cache_registries_are_session_scoped(spark):
+    """Interleaved dedup/CC runs on DIFFERENT SparkSessions must not
+    release each other's caches: the registry is keyed by session, so a
+    run on session B leaves session A's resident cache intact, while a
+    second run on A still releases A's own previous cache (≤1 resident
+    per session)."""
+    from pyspark.sql import functions as F
+
+    from anisearch_model_spark.operators import dedup, graph
+
+    spark_b = spark.newSession()
+
+    def docs(s):
+        return s.createDataFrame(
+            [(i, f"alpha beta gamma{i}") for i in range(1, 6)],
+            "doc_id long, text string",
+        )
+
+    t_a = dedup._fresh_token_cache(docs(spark), "doc_id", "text")
+    t_b = dedup._fresh_token_cache(docs(spark_b), "doc_id", "text")
+    assert t_a.storageLevel.useMemory, "session-B run released session-A cache"
+    assert t_b.storageLevel.useMemory
+    t_a2 = dedup._fresh_token_cache(docs(spark), "doc_id", "text")
+    assert not t_a.storageLevel.useMemory, "same-session rerun must release"
+    assert t_b.storageLevel.useMemory
+    assert t_a2.storageLevel.useMemory
+
+    # graph label registry: a CC run on B keeps A's final labels readable
+    pairs_a = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    pairs_b = spark_b.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    lab_a = connected_components(pairs_a)
+    lab_b = connected_components(pairs_b)
+    assert {r["node"]: r["label"] for r in lab_a.collect()} == {1: 1, 2: 1, 3: 1}
+    assert {r["node"]: r["label"] for r in lab_b.collect()} == {7: 7, 8: 7}
+    assert id(lab_a.sparkSession) in graph._label_caches
+    assert id(lab_b.sparkSession) in graph._label_caches

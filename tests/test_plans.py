@@ -91,6 +91,20 @@ def test_df_cache_lru_bound(spark, index_dir):
     assert (None, "magic") in idx._df_cache
 
 
+def test_tokens_relation_has_no_shuffle(spark):
+    """The (doc_id, token) relation — the largest intermediate in every
+    content-dedup operator — must plan as scan→project→generate→filter
+    with ZERO Exchange: explode(array_distinct(...)) already makes rows
+    unique per (doc_id, token), so a .distinct() there would shuffle the
+    whole relation for nothing."""
+    from anisearch_model_spark.operators.dedup import _tokens
+    from anisearch_model_spark.plans.inspect import exchange_count
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert exchange_count(_tokens(d, "doc_id", "text")) == 0
+    assert exchange_count(_tokens(d, "doc_id", "text", shingle_size=3)) == 0
+
+
 def test_simhash_has_single_generate(spark):
     """simhash must not explode tokens × bits: the only Generate in the
     plan is the token explode — the per-bit votes are conditional-sum agg
