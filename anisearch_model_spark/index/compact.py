@@ -19,12 +19,25 @@ depends on bucket boundaries (exhaustive ignores them; block-max does a
 per-bucket top-k then a global merge, which is bucket-partition-
 independent for a total order).
 
+SNAPSHOT ISOLATION (the Iceberg ``rewrite_data_files`` pattern on plain
+Parquet): each merged group is written under a FRESH bucket id that no
+manifest lists — invisible to every reader, because readers
+(query/engine.IndexStore) scan exactly the bucket directories the
+committed manifest names.  The atomic manifest replace is the commit
+point: it simultaneously unlists the source buckets and lists the merged
+one, so a concurrent reader sees either the old snapshot or the new one,
+never a half-swap.  Superseded directories are deleted only AFTER the
+commit.  No live data is ever renamed — on an object store (where rename
+is copy) the only data motion is writing the merged buckets once.
+Readers that planned against the old snapshot and execute after its
+directories are deleted can fail (Iceberg's snapshot-expiry caveat); a
+retry re-plans against the new snapshot and, compaction being
+content-preserving, returns identical results.
+
 Plan: greedily group ADJACENT (doc-range-ascending) buckets until each
 group holds ≥ ``target_docs``; single-bucket groups are left untouched
 (zero I/O for already-full buckets — steady state rewrites only the tail
-of small append buckets).  On an Iceberg deployment this whole job is
-``rewrite_data_files``; the Parquet fallback writes merged partitions to
-a temp dir and swaps directories.
+of small append buckets).
 """
 
 from __future__ import annotations
@@ -64,40 +77,35 @@ def plan_groups(buckets: dict[str, list[int]], target_docs: int) -> list[list[in
 
 
 def _stage_partitions(spark, df, partition_by: list[str], tmp_dir: str) -> None:
-    """Phase 1 of a swap: write ``df`` partitioned into ``tmp_dir``.
-    Originals are untouched — a crash here loses nothing."""
+    """Phase 1 of a snapshot swap: write ``df`` partitioned into
+    ``tmp_dir``.  Nothing live is touched — a crash here loses nothing."""
     shutil.rmtree(tmp_dir, ignore_errors=True)
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_dir)
 
 
-def _swap_in(table_dir: str, old_buckets: list[int], tmp_dir: str) -> None:
-    """Phase 2: rename the old bucket dirs ASIDE (bucket=N.old), then move
-    the staged dirs in.  The last copy of a bucket is never destroyed
-    before the manifest commits — the ``.old`` dirs are only dropped by
-    ``_drop_aside`` AFTER the manifest (the commit point) is durably
-    written; until then ``recover_compaction`` can roll back."""
-    for b in old_buckets:
-        src = os.path.join(table_dir, f"bucket={b}")
-        if os.path.isdir(src):
-            os.rename(src, src + ".old")
+def _adopt_staged(table_dir: str, tmp_dir: str) -> None:
+    """Phase 2: move the staged ``bucket=<fresh id>`` dirs into the live
+    table dir.  The fresh ids are in NO manifest yet, so manifest-driven
+    readers cannot see them — adoption is invisible until the commit."""
     for entry in os.listdir(tmp_dir):
         if entry.startswith("bucket="):
             dst = os.path.join(table_dir, entry)
-            shutil.rmtree(dst, ignore_errors=True)  # retry leftover
+            shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
             os.rename(os.path.join(tmp_dir, entry), dst)
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def _drop_aside(table_dir: str, old_buckets: list[int]) -> None:
-    """Phase 3 (post-commit): delete the renamed-aside originals."""
-    for b in old_buckets:
-        shutil.rmtree(os.path.join(table_dir, f"bucket={b}.old"),
+def _drop_buckets(table_dir: str, ids: list[int]) -> None:
+    """Phase 4 (post-commit): delete the superseded source directories —
+    the manifest no longer lists them, so no new reader can reach them."""
+    for b in ids:
+        shutil.rmtree(os.path.join(table_dir, f"bucket={b}"),
                       ignore_errors=True)
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace (tmp + rename): readers never see a torn
-    file, and the rename IS the compaction commit point."""
+    """Phase 3: atomic manifest replace (tmp + rename) — readers never see
+    a torn file, and the rename IS the snapshot commit point."""
     path = os.path.join(index_dir, "manifest.json")
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -106,17 +114,20 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
 
 
 def recover_compaction(index_dir: str) -> str | None:
-    """Roll an interrupted compaction forward or back using the manifest
-    as the authority.  Returns "rolled_back", "rolled_forward", or None.
+    """Heal an interrupted compaction/purge.  Returns "healed" or None.
 
-    ``bucket=N.old`` dirs exist only inside one group's swap window (they
-    are dropped right after each group's manifest commit), so the set on
-    disk belongs to a single group:
+    The manifest is the sole authority: a bucket directory whose id it
+    does not list is either a staged-but-uncommitted snapshot (crash
+    before the commit → rolling BACK) or a superseded pre-snapshot
+    original (crash after the commit → rolling FORWARD) — both resolve
+    by deleting the unreferenced directory, because the manifest-listed
+    copy of every doc range is intact by construction (sources are
+    unlisted and staged buckets listed in the SAME atomic replace).
 
-    * every ``.old`` id still listed in the manifest → the crash happened
-      BEFORE the commit: restore the originals, discard staged output
-    * any ``.old`` id absent from the manifest → the crash happened AFTER
-      the commit (the merged bucket is live): finish the cleanup
+    Legacy compat: pre-snapshot builds used a rename-aside swap that
+    could leave ``bucket=N.old`` dirs; if the live ``bucket=N`` is
+    missing and N is still listed, the aside copy is the last one —
+    restore it; otherwise drop it.
     """
     mpath = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(mpath):
@@ -124,32 +135,31 @@ def recover_compaction(index_dir: str) -> str | None:
     with open(mpath, encoding="utf-8") as f:
         manifest = json.load(f)
     live = set(manifest.get("buckets", {}))
-    outcome = None
+    healed = None
     for table in ("postings", "doc_map"):
         table_dir = os.path.join(index_dir, table)
         if not os.path.isdir(table_dir):
             continue
-        olds = [e for e in os.listdir(table_dir)
-                if e.startswith("bucket=") and e.endswith(".old")]
-        ids = [e[len("bucket="):-len(".old")] for e in olds]
-        if not ids:
-            continue
-        if all(i in live for i in ids):  # pre-commit → roll back
-            for i in ids:
-                dst = os.path.join(table_dir, f"bucket={i}")
-                shutil.rmtree(dst, ignore_errors=True)  # staged partial
-                os.rename(dst + ".old", dst)
-            outcome = outcome or "rolled_back"
-        else:  # post-commit → roll forward
-            for i in ids:
-                shutil.rmtree(os.path.join(table_dir, f"bucket={i}.old"),
-                              ignore_errors=True)
-            outcome = "rolled_forward"
-    # tmp dirs are only ever a REDUNDANT copy once the .old state above is
-    # resolved, so they are safe to clear now (never before)
+        for entry in os.listdir(table_dir):
+            if not entry.startswith("bucket="):
+                continue
+            val = entry[len("bucket="):]
+            path = os.path.join(table_dir, entry)
+            if entry.endswith(".old"):  # legacy rename-aside remnant
+                bid = val[: -len(".old")]
+                live_dir = os.path.join(table_dir, f"bucket={bid}")
+                if bid in live and not os.path.isdir(live_dir):
+                    os.rename(path, live_dir)  # last copy → restore
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
+                healed = "healed"
+            elif val not in live:
+                shutil.rmtree(path, ignore_errors=True)
+                healed = "healed"
+    # tmp dirs are never referenced — safe to clear once the above ran
     for t in ("_compact_tmp_postings", "_compact_tmp_docmap"):
         shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
-    return outcome
+    return healed
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -193,9 +203,13 @@ def compact_index(spark: SparkSession, index_dir: str,
     groups = plan_groups(buckets, int(target_docs))
     rewrite = [g for g in groups if len(g) > 1]
     before = len(buckets)
+    next_id = max((int(b) for b in buckets), default=-1) + 1
+    merged_ids: list[int] = []
 
     for group in rewrite:
-        new_id = min(group)
+        new_id = next_id
+        next_id += 1
+        merged_ids.append(new_id)
         span_lo = min(int(buckets[str(b)][0]) for b in group)
         span_n = sum(int(buckets[str(b)][1]) for b in group)
 
@@ -220,40 +234,43 @@ def compact_index(spark: SparkSession, index_dir: str,
         )
         tmp_p = os.path.join(index_dir, "_compact_tmp_postings")
         tmp_d = os.path.join(index_dir, "_compact_tmp_docmap")
-        # phase 1: stage BOTH tables while the originals stay live —
-        # the reads above must finish before any original moves
+        # phase 1: stage BOTH tables under the fresh id — sources stay live
         _stage_partitions(spark, merged, ["bucket", "field"], tmp_p)
         _stage_partitions(spark, doc_map, ["bucket"], tmp_d)
-        # phase 2: rename originals aside, move staged dirs in
-        _swap_in(os.path.join(index_dir, "postings"), group, tmp_p)
-        _swap_in(os.path.join(index_dir, "doc_map"), group, tmp_d)
-        # phase 3: COMMIT — the manifest rename makes this group's merge
-        # durable; a crash before this line rolls back from the .old
-        # dirs, a crash after it rolls forward (recover_compaction)
+        # phase 2: adopt the staged dirs (unlisted id → invisible)
+        _adopt_staged(os.path.join(index_dir, "postings"), tmp_p)
+        _adopt_staged(os.path.join(index_dir, "doc_map"), tmp_d)
+        # phase 3: COMMIT — one atomic manifest replace unlists the group
+        # and lists the merged bucket; crash before this line rolls back
+        # (recover deletes the unlisted merged dirs), crash after rolls
+        # forward (recover deletes the unlisted group dirs)
         for b in group:
             del buckets[str(b)]
         buckets[str(new_id)] = [span_lo, span_n]
         manifest["buckets"] = buckets
         _write_manifest(index_dir, manifest)
-        # phase 4: drop the renamed-aside originals
-        _drop_aside(os.path.join(index_dir, "postings"), group)
-        _drop_aside(os.path.join(index_dir, "doc_map"), group)
+        # phase 4: drop the superseded source directories
+        _drop_buckets(os.path.join(index_dir, "postings"), group)
+        _drop_buckets(os.path.join(index_dir, "doc_map"), group)
 
     if rewrite:
         # mark merged buckets done so a later resumable build skips them
         from anisearch_model_spark.index.store import CHECKPOINT_SCHEMA
 
-        rows = [(int(min(g)), "done", 0, 0, 0, 1.0, "compaction", time.time())
-                for g in rewrite]
+        rows = [(int(b), "done", 0, 0, 0, 1.0, "compaction", time.time())
+                for b in merged_ids]
         spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode(
             "append").parquet(os.path.join(index_dir, "checkpoints"))
-    if rewrite or healed == "rolled_forward":
-        # rolled_forward: a prior run committed its manifest but died
-        # before finalize — re-derive stats/dictionary now even if this
-        # run itself found nothing left to rewrite
+    if rewrite or healed:
+        # merges are pure concatenation — the dictionary provably cannot
+        # change, so skip its rewrite (no postings pass, and concurrent
+        # readers keep an untouched dictionary dir).  After a HEAL the
+        # interrupted run may have been a purge, whose dictionary/stats
+        # refresh might not have landed — re-derive fully then.
         finalize_metadata(
             spark, index_dir, n_docs, params, num_buckets=len(buckets),
             field_col=stats.get("field_col"), codec=stats.get("codec", "varint"),
+            rewrite_dictionary=bool(healed),
         )
     return {
         "buckets_before": before,

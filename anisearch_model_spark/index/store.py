@@ -122,22 +122,31 @@ def _write_checkpoints(spark: SparkSession, index_dir: str, buckets: list[int],
 def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
                       params: BM25Params, num_buckets: int,
                       field_col: str | None = None,
-                      codec: str = "varint") -> dict:
+                      codec: str = "varint",
+                      rewrite_dictionary: bool = True) -> dict:
     """(Re)derive dictionary + stats from the postings store.
 
     With ``field_col``, stats.json additionally records per-field
     {n_docs, avgdl} so field-scoped queries score against the field's own
     sub-corpus (the reference scores each text column independently,
-    src/api.py:316-349)."""
-    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
-        os.path.join(index_dir, "postings")
-    )
+    src/api.py:316-349).
+
+    ``rewrite_dictionary=False`` skips the dictionary re-derive and reads
+    the existing one for the stats aggregates — for COMPACTION, which
+    merges buckets by pure concatenation and provably cannot change any
+    term's df/cf: skipping saves a full postings pass AND keeps the
+    dictionary directory untouched while concurrent readers query it
+    (the in-place overwrite is the one non-atomic step left)."""
     dict_path = os.path.join(index_dir, "dictionary")
-    # term-sorted within files: per-query `term IN (...)` lookups prune by
-    # Parquet row-group min/max stats instead of scanning the vocabulary
-    dictionary_from_postings(postings).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(dict_path)
+    if rewrite_dictionary:
+        postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+            os.path.join(index_dir, "postings")
+        )
+        # term-sorted within files: per-query `term IN (...)` lookups prune
+        # by Parquet row-group min/max stats instead of scanning the vocab
+        dictionary_from_postings(postings).sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(dict_path)
     total_tokens = (
         spark.read.schema(DICTIONARY_SCHEMA).parquet(dict_path)
         .agg(F.sum("cf").alias("s")).collect()[0]["s"]
@@ -180,8 +189,11 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         # buffer can legitimately start with
         "index_format_version": INDEX_FORMAT_VERSION,
     }
-    with open(os.path.join(index_dir, "stats.json"), "w", encoding="utf-8") as f:
+    # atomic replace: a concurrent IndexStore open never sees a torn file
+    spath = os.path.join(index_dir, "stats.json")
+    with open(spath + ".tmp", "w", encoding="utf-8") as f:
         json.dump(stats, f, indent=2, sort_keys=True)
+    os.replace(spath + ".tmp", spath)
     return stats
 
 

@@ -15,7 +15,10 @@ This is the Lucene live-docs model re-expressed for the bucketed layout:
   decode → drop dead postings → re-encode with the build's own
   vectorized ``encode_bucket_frame`` (so surviving blocks are
   byte-identical to a fresh encode of the surviving tf rows), re-derives
-  dictionary/stats, then clears the tombstone table.
+  dictionary/stats, then clears the tombstone table.  The rewrite lands
+  under fresh bucket ids committed by one atomic manifest replace
+  (snapshot swap, index/compact.py) — concurrent readers see the
+  pre-purge or post-purge snapshot, never a half-rewritten bucket.
 
 Scale shape: the tombstone set is bounded by deletes SINCE THE LAST
 PURGE (it is cleared on purge), so the broadcast array and the
@@ -102,18 +105,26 @@ def purge_deleted(spark: SparkSession, index_dir: str,
                   params=None) -> dict:
     """Physically remove tombstoned docs from postings + doc_map.
 
-    Rewrites ONLY affected buckets via the crash-safe rename-aside swap
-    (index/compact.py): a crash mid-purge rolls back to the pre-purge
-    buckets — still correct, because the tombstone table (cleared LAST)
-    keeps the scorers filtering until a re-run finishes the purge.
-    Returns {purged_docs, buckets_rewritten}.
+    Rewrites ONLY affected buckets, via the SNAPSHOT swap
+    (index/compact.py): each affected bucket's surviving content is
+    written under a FRESH bucket id (invisible — readers scan exactly the
+    manifest-listed directories), then ONE atomic manifest replace remaps
+    every affected id to its rewritten successor (same doc-id span — doc
+    ids are never renumbered, so range pruning is unchanged), then the
+    superseded directories are deleted.  A crash before the commit rolls
+    back (recover_compaction deletes the unlisted staged dirs) and the
+    tombstone table — cleared LAST, the purge's own commit point — keeps
+    the scorers filtering until a re-run finishes.  A crash after the
+    commit re-runs as a no-op rewrite of already-clean buckets
+    (idempotent).  Returns {purged_docs, buckets_rewritten}.
     """
     import json
 
     from anisearch_model_spark.config import BM25Params
     from anisearch_model_spark.index.build import POSTINGS_SCHEMA
     from anisearch_model_spark.index.compact import (
-        _drop_aside, _stage_partitions, _swap_in, recover_compaction)
+        _adopt_staged, _drop_buckets, _stage_partitions, _write_manifest,
+        recover_compaction)
     from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
     from anisearch_model_spark.index.store import finalize_metadata
 
@@ -141,6 +152,10 @@ def purge_deleted(spark: SparkSession, index_dir: str,
 
     bdead = spark.sparkContext.broadcast(dead)
     codec = stats.get("codec", "varint")
+    # fresh snapshot ids for the rewritten buckets: unlisted → invisible
+    # to concurrent readers until the single manifest commit below
+    next_id = max(int(b) for b in manifest["buckets"]) + 1
+    id_map = {old: next_id + i for i, old in enumerate(affected)}
 
     def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
         """One (bucket, field) partition: decode → drop dead → re-encode.
@@ -157,7 +172,7 @@ def purge_deleted(spark: SparkSession, index_dir: str,
         if pdf.empty:
             return pd.DataFrame(columns=cols)
         dead_arr = bdead.value
-        bucket = int(pdf["bucket"].iloc[0])
+        bucket = id_map[int(pdf["bucket"].iloc[0])]
         fld = pdf["field"].iloc[0]
         frames = []
         for row in pdf.itertuples(index=False):
@@ -189,21 +204,36 @@ def purge_deleted(spark: SparkSession, index_dir: str,
     )
     dead_df = spark.createDataFrame([(int(i),) for i in dead],
                                     TOMBSTONE_SCHEMA)
+    # id remap as a literal CASE chain (|affected| is small by purge's
+    # bounded-tombstones construction)
+    remap = F.col("bucket")
+    for old, new in id_map.items():
+        remap = F.when(F.col("bucket") == old, F.lit(new)).otherwise(remap)
     doc_map = (
         spark.read.schema(BUCKETED_SCHEMA)
         .parquet(os.path.join(index_dir, "doc_map"))
         .filter(F.col("bucket").isin(affected))
         .join(F.broadcast(dead_df), "doc_id", "left_anti")
+        .withColumn("bucket", remap.cast("int"))
     )
 
     tmp_p = os.path.join(index_dir, "_compact_tmp_postings")
     tmp_d = os.path.join(index_dir, "_compact_tmp_docmap")
+    # phase 1: stage rewritten buckets under the fresh ids — sources live
     _stage_partitions(spark, postings, ["bucket", "field"], tmp_p)
     _stage_partitions(spark, doc_map, ["bucket"], tmp_d)
-    _swap_in(os.path.join(index_dir, "postings"), affected, tmp_p)
-    _swap_in(os.path.join(index_dir, "doc_map"), affected, tmp_d)
-    _drop_aside(os.path.join(index_dir, "postings"), affected)
-    _drop_aside(os.path.join(index_dir, "doc_map"), affected)
+    # phase 2: adopt (unlisted ids → invisible to readers)
+    _adopt_staged(os.path.join(index_dir, "postings"), tmp_p)
+    _adopt_staged(os.path.join(index_dir, "doc_map"), tmp_d)
+    # phase 3: COMMIT — one atomic manifest replace remaps every affected
+    # id to its rewritten successor; spans are unchanged (doc ids are
+    # never renumbered, so bucket-range pruning stays valid)
+    for old, new in id_map.items():
+        manifest["buckets"][str(new)] = manifest["buckets"].pop(str(old))
+    _write_manifest(index_dir, manifest)
+    # phase 4: drop the superseded source directories
+    _drop_buckets(os.path.join(index_dir, "postings"), affected)
+    _drop_buckets(os.path.join(index_dir, "doc_map"), affected)
 
     # true live-doc count (manifest ranges are id SPANS and stay as-is)
     n_docs = (

@@ -57,8 +57,9 @@ class IndexStore:
 
         self._df_cache: OrderedDict[tuple[str | None, str], int | None] = OrderedDict()
         self._df_cache_max = df_cache_max or self.DF_CACHE_MAX
+        self._manifest_cache: dict | None = None
+        self._manifest_mtime: float | None = None
         self._ranges: list[tuple[int, int, int]] | None = None  # manifest doc ranges
-        self._ranges_mtime: float | None = None
         self._tomb: np.ndarray | None = None  # sorted tombstoned doc ids
         self._tomb_mtime: float | None = None
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
@@ -162,24 +163,31 @@ class IndexStore:
             self._df_cache.popitem(last=False)
         return out
 
+    def _manifest(self) -> dict:
+        """The current committed manifest (the index SNAPSHOT).  Re-read
+        when its mtime changes: an incremental append, purge, or
+        compaction in the same process atomically replaces the manifest,
+        and both the bucket-range pruner and the snapshot readers below
+        must follow it — stale ranges would silently DROP hits, and a
+        directory listing not scoped to the manifest would read staged
+        (uncommitted) or superseded bucket directories mid-swap."""
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        mtime = os.path.getmtime(mpath)
+        if self._manifest_cache is None or mtime != self._manifest_mtime:
+            with open(mpath, encoding="utf-8") as f:
+                self._manifest_cache = json.load(f)
+            self._ranges = sorted(
+                (int(first), int(first) + int(count), int(b))
+                for b, (first, count) in self._manifest_cache["buckets"].items()
+            )
+            self._manifest_mtime = mtime
+        return self._manifest_cache
+
     def buckets_for(self, doc_ids: list[int]) -> list[int]:
         """Bucket ids whose doc-range covers any of ``doc_ids`` (manifest
         ranges, driver-side) — lets a metadata probe prune the doc_map
-        scan to the few bucket partitions actually holding hits.
-
-        Re-reads the manifest when its mtime changes: an incremental
-        append or compaction in the same process rewrites the bucket map,
-        and pruning with stale ranges would silently DROP hits."""
-        mpath = os.path.join(self.index_dir, "manifest.json")
-        mtime = os.path.getmtime(mpath)
-        if self._ranges is None or mtime != self._ranges_mtime:
-            with open(mpath, encoding="utf-8") as f:
-                manifest = json.load(f)
-            self._ranges = sorted(
-                (int(first), int(first) + int(count), int(b))
-                for b, (first, count) in manifest["buckets"].items()
-            )
-            self._ranges_mtime = mtime
+        scan to the few bucket partitions actually holding hits."""
+        self._manifest()
         import bisect
 
         starts = [r[0] for r in self._ranges]
@@ -221,13 +229,41 @@ class IndexStore:
     # writes directories with no data files, and schema inference would
     # throw UNABLE_TO_INFER_SCHEMA instead of returning empty frames
 
+    def _snapshot_read(self, schema, table: str) -> DataFrame:
+        """Read a bucketed table through the manifest SNAPSHOT: only the
+        ``bucket=N`` directories the committed manifest lists, passed as
+        explicit paths (``basePath`` keeps partition-column discovery).
+
+        This is what makes compaction/purge safe under concurrent
+        readers: those jobs adopt their rewritten buckets under FRESH ids
+        (invisible until the atomic manifest commit) and delete the
+        superseded directories only after it, so a reader either sees the
+        old snapshot or the new one — never a half-swap, never a staged
+        and a superseded copy of the same docs at once (Iceberg's
+        rewrite_data_files + snapshot-commit semantics on plain Parquet).
+        A bucket listed in the manifest but never materialized (e.g. its
+        docs were all stopwords → zero postings) is skipped; such
+        directories are never deleted by the engine, so the existence
+        check cannot race the cleanup."""
+        root = os.path.join(self.index_dir, table)
+        paths = []
+        for b in sorted(int(x) for x in self._manifest().get("buckets", {})):
+            p = os.path.join(root, f"bucket={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+        if not paths:  # empty index → empty frame with the right schema
+            return self.spark.read.schema(schema).parquet(root)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", root)
+            .parquet(*paths)
+        )
+
     @property
     def postings(self) -> DataFrame:
         from anisearch_model_spark.index.build import POSTINGS_SCHEMA
 
-        return self.spark.read.schema(POSTINGS_SCHEMA).parquet(
-            os.path.join(self.index_dir, "postings")
-        )
+        return self._snapshot_read(POSTINGS_SCHEMA, "postings")
 
     @property
     def dictionary(self) -> DataFrame:
@@ -241,9 +277,7 @@ class IndexStore:
     def doc_map(self) -> DataFrame:
         from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
 
-        return self.spark.read.schema(BUCKETED_SCHEMA).parquet(
-            os.path.join(self.index_dir, "doc_map")
-        )
+        return self._snapshot_read(BUCKETED_SCHEMA, "doc_map")
 
 
 def parse_query(query_text: str) -> list[str]:

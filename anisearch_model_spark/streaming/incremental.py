@@ -104,12 +104,15 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
         .parquet(os.path.join(index_dir, "postings"))
     )
 
-    # commit: extend manifest, re-derive dictionary/stats from block metadata
+    # commit: extend manifest (ATOMIC replace — concurrent readers scan
+    # exactly the manifest-listed buckets, so the new docs become visible
+    # all at once here), re-derive dictionary/stats from block metadata
+    from anisearch_model_spark.index.compact import _write_manifest
+
     for pid in sorted(counts):
         buckets[str(max_bucket + 1 + pid)] = [n_existing + offsets[pid], counts[pid]]
     manifest["buckets"] = buckets
-    with open(os.path.join(index_dir, "manifest.json"), "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_manifest(index_dir, manifest)
     finalize_metadata(
         spark, index_dir, n_existing + n_new, params,
         num_buckets=len(buckets), field_col=field_col, codec=codec,

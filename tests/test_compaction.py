@@ -99,11 +99,19 @@ def test_streaming_append_auto_compacts(spark, tmp_path):
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
 
 
+def _dir_ids(table_dir):
+    return {e[len("bucket="):] for e in os.listdir(table_dir)
+            if e.startswith("bucket=")}
+
+
 def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
-    """The manifest rename is the commit point and the last copy of a
-    bucket is never destroyed: a crash BEFORE the manifest commit rolls
-    back from the renamed-aside originals; a crash AFTER it (cleanup not
-    yet run) rolls forward.  Queries are bit-identical in both cases."""
+    """The atomic manifest replace is the snapshot commit point and the
+    manifest-listed copy of every doc range is never destroyed: a crash
+    BEFORE the commit leaves the staged merged bucket unlisted (readers
+    never saw it; recovery deletes it = rollback); a crash AFTER the
+    commit leaves the superseded source buckets unlisted (readers already
+    moved on; recovery deletes them = roll-forward).  Queries are
+    bit-identical in both cases."""
     import anisearch_model_spark.index.compact as compact_mod
     from anisearch_model_spark.config import BM25Params
     from anisearch_model_spark.datagen import gen_transcripts_pandas
@@ -127,8 +135,9 @@ def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
 
     want = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
     manifest_before = json.load(open(os.path.join(d, "manifest.json")))
+    postings_dir = os.path.join(d, "postings")
 
-    # --- crash 1: die at the manifest write (post-swap, PRE-commit) ---
+    # --- crash 1: die at the manifest write (post-adopt, PRE-commit) ---
     def boom(*a, **k):
         raise RuntimeError("simulated crash at commit")
 
@@ -139,11 +148,10 @@ def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
     except RuntimeError:
         pass
     monkeypatch.undo()
-    # .old dirs exist; the staged merge is live but UNcommitted
-    postings_dir = os.path.join(d, "postings")
-    assert any(e.endswith(".old") for e in os.listdir(postings_dir))
-    assert recover_compaction(d) == "rolled_back"
-    assert not any(e.endswith(".old") for e in os.listdir(postings_dir))
+    # the staged merged bucket was adopted but is UNLISTED (uncommitted)
+    assert _dir_ids(postings_dir) - set(manifest_before["buckets"])
+    assert recover_compaction(d) == "healed"
+    assert _dir_ids(postings_dir) == set(manifest_before["buckets"])
     assert json.load(open(os.path.join(d, "manifest.json"))) == manifest_before
     got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
@@ -151,18 +159,23 @@ def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
                                   want["score"].to_numpy())
 
     # --- crash 2: die AFTER the manifest commit, before cleanup ---
-    monkeypatch.setattr(compact_mod, "_drop_aside", boom)
+    monkeypatch.setattr(compact_mod, "_drop_buckets", boom)
     try:
         compact_index(spark, d)
         raise AssertionError("crash did not propagate")
     except RuntimeError:
         pass
     monkeypatch.undo()
-    assert any(e.endswith(".old") for e in os.listdir(postings_dir))
-    # a plain re-run heals (rolls forward) and finishes the compaction
-    out = compact_index(spark, d)
-    assert not any(e.endswith(".old") for e in os.listdir(postings_dir))
+    committed = json.load(open(os.path.join(d, "manifest.json")))
+    # superseded source dirs linger, unlisted
+    assert _dir_ids(postings_dir) - set(committed["buckets"])
+    # the committed snapshot already answers queries correctly
+    got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # a plain re-run heals (drops the unlisted dirs) and finishes
+    compact_index(spark, d)
     manifest_after = json.load(open(os.path.join(d, "manifest.json")))
+    assert _dir_ids(postings_dir) == set(manifest_after["buckets"])
     assert len(manifest_after["buckets"]) < len(manifest_before["buckets"])
     got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
@@ -170,6 +183,17 @@ def test_compaction_crash_safety(spark, tmp_path, monkeypatch):
                                   want["score"].to_numpy())
     # idempotent after heal
     assert compact_index(spark, d)["groups_rewritten"] == 0
+
+    # --- legacy rename-aside remnant (pre-snapshot layout): if the live
+    # dir is missing and the id is listed, the aside copy is the last
+    # one — recovery must restore, not delete ---
+    some = sorted(_dir_ids(postings_dir))[0]
+    live = os.path.join(postings_dir, f"bucket={some}")
+    os.rename(live, live + ".old")
+    assert recover_compaction(d) == "healed"
+    assert os.path.isdir(live) and not os.path.isdir(live + ".old")
+    got = topk_bmw(IndexStore(spark, d), "hero battle magic", 10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
 
 
 def test_compaction_preserves_results_and_shrinks_buckets(spark, tmp_path):
@@ -237,3 +261,92 @@ def test_compaction_preserves_results_and_shrinks_buckets(spark, tmp_path):
     idx3 = IndexStore(spark, d)
     assert idx3.stats["n_docs"] == 2600
     assert topk_exhaustive(idx3, "hero battle", 5).count() > 0
+
+
+def test_concurrent_reader_during_compaction(spark, tmp_path, monkeypatch):
+    """A live IndexStore keeps answering queries, bit-identically, while
+    compact_index swaps buckets under it in another thread.  The
+    interleaving is made DETERMINISTIC with events: one query runs while
+    the merged bucket is adopted-but-uncommitted (reader must stay on the
+    old snapshot), one runs after the commit while the superseded source
+    dirs still exist (reader must use the new snapshot and never
+    double-read), and several run unsynchronized before/after."""
+    import threading
+
+    import anisearch_model_spark.index.compact as compact_mod
+    from anisearch_model_spark.config import BM25Params
+    from anisearch_model_spark.datagen import gen_transcripts_pandas
+    from anisearch_model_spark.index.compact import compact_index
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+    from anisearch_model_spark.streaming.incremental import _append_batch
+
+    full_pdf = gen_transcripts_pandas(1200, seed=47)
+    convs = sorted(full_pdf["conv_id"].unique())
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "ccr_idx")
+    cuts = [convs[len(convs) // 2], convs[len(convs) * 3 // 4]]
+    build_index(spark, spark.createDataFrame(
+        full_pdf[full_pdf["conv_id"] < cuts[0]], schema), d, num_buckets=2)
+    for a, b in zip(cuts, cuts[1:] + [chr(0x10FFFF)]):
+        s = full_pdf[(full_pdf["conv_id"] >= a) & (full_pdf["conv_id"] < b)]
+        _append_batch(spark, spark.createDataFrame(s, schema), d, BM25Params())
+
+    idx = IndexStore(spark, d)  # ONE long-lived reader (serve-mode shape)
+    queries = ["hero battle magic", "robot space"]
+    want = {q: topk_bmw(idx, q, 10).toPandas() for q in queries}
+
+    def check(tag):
+        for q in queries:
+            got = topk_bmw(idx, q, 10).toPandas()
+            assert got["doc_id"].tolist() == want[q]["doc_id"].tolist(), (tag, q)
+            np.testing.assert_array_equal(
+                got["score"].to_numpy(), want[q]["score"].to_numpy())
+
+    adopted = threading.Event()      # staged bucket adopted, NOT committed
+    commit_go = threading.Event()    # reader done → let the commit proceed
+    committed = threading.Event()    # committed, source dirs NOT deleted
+    cleanup_go = threading.Event()   # reader done → let the cleanup run
+    orig_write = compact_mod._write_manifest
+    orig_drop = compact_mod._drop_buckets
+    state = {"first_write": True, "first_drop": True}
+
+    def gated_write(index_dir, manifest):
+        if state["first_write"]:
+            state["first_write"] = False
+            adopted.set()
+            assert commit_go.wait(120)
+        orig_write(index_dir, manifest)
+
+    def gated_drop(table_dir, ids):
+        if state["first_drop"]:
+            state["first_drop"] = False
+            committed.set()
+            assert cleanup_go.wait(120)
+        orig_drop(table_dir, ids)
+
+    monkeypatch.setattr(compact_mod, "_write_manifest", gated_write)
+    monkeypatch.setattr(compact_mod, "_drop_buckets", gated_drop)
+
+    result = {}
+
+    def run():
+        result["out"] = compact_index(spark, d)
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        assert adopted.wait(300), "compaction never reached the commit"
+        check("adopted-uncommitted")   # old snapshot still authoritative
+        commit_go.set()
+        assert committed.wait(300), "compaction never reached cleanup"
+        check("committed-undeleted")   # new snapshot; no double-read
+        cleanup_go.set()
+    finally:
+        commit_go.set()
+        cleanup_go.set()
+        t.join(600)
+    assert not t.is_alive()
+    assert "out" in result and result["out"]["groups_rewritten"] >= 1
+    check("after")

@@ -170,8 +170,9 @@ def test_lifecycle_field_qualified_append_delete_purge_compact(spark, tmp_path):
 
 def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
     """Purge is bounded I/O: buckets whose doc-range holds no tombstone
-    keep their files untouched (mtime-stable), and manifest ranges are
-    unchanged (ids are never renumbered)."""
+    keep their ids AND files untouched (mtime-stable); the affected
+    bucket is rewritten under a FRESH snapshot id with the SAME doc-id
+    span (doc ids are never renumbered, so range pruning stays valid)."""
     from anisearch_model_spark.index.tombstones import (
         delete_docs, purge_deleted)
     from anisearch_model_spark.query.engine import IndexStore
@@ -179,8 +180,8 @@ def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
     d = _build(spark, tmp_path, n=800, buckets=4)
     manifest = json.load(open(os.path.join(d, "manifest.json")))
     # pick a victim from the FIRST bucket's range
-    (lo, n) = sorted(manifest["buckets"].items(),
-                     key=lambda kv: kv[1][0])[0][1]
+    affected_id, (lo, n) = sorted(manifest["buckets"].items(),
+                                  key=lambda kv: kv[1][0])[0]
     victim = int(lo)
     postings_dir = os.path.join(d, "postings")
     untouched = [b for b, (blo, bn) in manifest["buckets"].items()
@@ -194,8 +195,16 @@ def test_purge_only_rewrites_affected_buckets(spark, tmp_path):
     for b, t in stamp.items():
         assert os.path.getmtime(
             os.path.join(postings_dir, f"bucket={b}")) == t, b
-    # id spans unchanged: bucket pruning stays valid after the purge
     manifest2 = json.load(open(os.path.join(d, "manifest.json")))
-    assert manifest2["buckets"] == manifest["buckets"]
+    # untouched buckets keep their ids; the affected id moved to a fresh
+    # snapshot id carrying the SAME [lo, n] span
+    for b in untouched:
+        assert manifest2["buckets"][b] == manifest["buckets"][b]
+    assert affected_id not in manifest2["buckets"]
+    new_ids = set(manifest2["buckets"]) - set(manifest["buckets"])
+    assert len(new_ids) == 1
+    assert manifest2["buckets"][new_ids.pop()] == [lo, n]
+    assert not os.path.isdir(
+        os.path.join(postings_dir, f"bucket={affected_id}"))
     idx = IndexStore(spark, d)
     assert idx.stats["n_docs"] == 799

@@ -1,0 +1,109 @@
+"""Probe-gated clean-host bench runner (round-5 judge item #1).
+
+The sandbox VM is transiently memory-throttled 10-100× on a minutes
+scale, so a single bounded wait (bench.py's own policy) can still land
+the suite inside a throttle window.  This runner is the scheduled-retry
+form: it polls the host probe, launches the FULL bench suite only when a
+window opens (probe < threshold), and ACCEPTS the run only if the
+suite's own start/mid/end probe stamps confirm the window held; else it
+retries until the deadline.  The 2-vs-8 scaling pair (north rule) runs
+the same way, accepted only when both per-level probe stamps are clean.
+
+Usage:
+    nohup python tools/clean_bench.py > /tmp/clean_bench.log 2>&1 &
+
+Outputs (only on acceptance):
+    BENCH/clean_r5.json          accepted suite JSON + scaling summary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = float(os.environ.get("CLEAN_PROBE_THRESHOLD", "1.0"))
+DEADLINE_SEC = float(os.environ.get("CLEAN_BENCH_DEADLINE_SEC", "14400"))
+POLL_SEC = float(os.environ.get("CLEAN_BENCH_POLL_SEC", "60"))
+SCALING_TURNS = int(os.environ.get("CLEAN_SCALING_TURNS", "2000000"))
+
+
+def probe() -> float:
+    sys.path.insert(0, REPO)
+    from bench import _host_probe
+
+    return _host_probe()
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def run_suite() -> dict | None:
+    env = dict(os.environ, BENCH_WAIT_HEALTHY_SEC="0")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         capture_output=True, text=True, env=env, cwd=REPO)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        log(f"bench failed rc={out.returncode}: {out.stderr[-500:]}")
+        return None
+    d = json.loads(lines[-1])
+    stamps = [d["host_probe_sec_start"], d["host_probe_sec_mid"],
+              d["host_probe_sec_end"]]
+    if all(s < THRESHOLD for s in stamps):
+        return d
+    log(f"suite ran but window closed mid-run (probes {stamps}) — retry")
+    return None
+
+
+def run_scaling() -> dict | None:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
+         str(SCALING_TURNS), "--levels", "2,8"],
+        capture_output=True, text=True, cwd=REPO)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        log(f"scaling failed rc={out.returncode}: {out.stderr[-500:]}")
+        return None
+    d = json.loads(lines[-1])
+    stamps = list(d.get("host_probe_per_level", {}).values())
+    if stamps and all(s < THRESHOLD for s in stamps):
+        return d
+    log(f"scaling ran but a level was throttled (probes {stamps}) — retry")
+    return None
+
+
+def main() -> None:
+    t_end = time.time() + DEADLINE_SEC
+    suite = scaling = None
+    while time.time() < t_end and (suite is None or scaling is None):
+        p = probe()
+        if p >= THRESHOLD:
+            log(f"probe {p}s ≥ {THRESHOLD} — waiting")
+            time.sleep(POLL_SEC)
+            continue
+        if suite is None:
+            log(f"probe {p}s — window open, running suite")
+            suite = run_suite()
+            if suite:
+                log(f"suite ACCEPTED: total {suite['value']}s")
+            continue
+        log(f"probe {p}s — window open, running 2-vs-8 scaling "
+            f"({SCALING_TURNS:,} turns)")
+        scaling = run_scaling()
+        if scaling:
+            log(f"scaling ACCEPTED: eff_2_to_8 {scaling['eff_2_to_8']}")
+    result = {"accepted_suite": suite, "accepted_scaling": scaling,
+              "threshold": THRESHOLD, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "clean_r5.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    log(f"done: suite={'OK' if suite else 'NONE'} "
+        f"scaling={'OK' if scaling else 'NONE'}")
+
+
+if __name__ == "__main__":
+    main()
