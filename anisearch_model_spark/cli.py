@@ -83,21 +83,37 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             out_stream.flush()
             continue
         t0 = time.time()
-        try:
+
+        def _run():
             if fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
-                rows = search_fields(idx, req["query"], fields,
+                return search_fields(idx, req["query"], fields,
                                      k=k, page=page, pruned=pruned).collect()
-            elif req.get("conversations"):
+            if req.get("conversations"):
                 from anisearch_model_spark.query.multifield import (
                     search_conversations)
 
-                rows = search_conversations(idx, req["query"], k=k,
+                return search_conversations(idx, req["query"], k=k,
                                             page=page, pruned=pruned).collect()
-            else:
-                rows = search(idx, req["query"], k=k, page=page, role=role,
-                              pruned=pruned).collect()
+            return search(idx, req["query"], k=k, page=page, role=role,
+                          pruned=pruned).collect()
+
+        try:
+            try:
+                rows = _run()
+            except Exception as e:  # noqa: BLE001
+                # snapshot-expiry retry: a query planned against the old
+                # snapshot can fail if a concurrent compaction/purge
+                # deleted its superseded directories mid-query (Iceberg's
+                # expire-snapshots caveat); ONE re-plan reads the current
+                # committed snapshot — for compaction, identical results
+                msg = str(e)
+                if any(s in msg for s in ("FileNotFound", "PATH_NOT_FOUND",
+                                          "does not exist")):
+                    rows = _run()
+                else:
+                    raise
         except Exception as e:  # noqa: BLE001 — a bad request must not kill the service
             out_stream.write(json.dumps({"error": str(e)}) + "\n")
             out_stream.flush()
