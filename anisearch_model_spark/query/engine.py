@@ -60,6 +60,7 @@ class IndexStore:
         self._manifest_cache: dict | None = None
         self._manifest_mtime: float | None = None
         self._ranges: list[tuple[int, int, int]] | None = None  # manifest doc ranges
+        self._snapshot_paths: dict[str, list[str]] = {}  # table → bucket dirs
         self._tomb: np.ndarray | None = None  # sorted tombstoned doc ids
         self._tomb_mtime: float | None = None
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
@@ -180,6 +181,7 @@ class IndexStore:
                 (int(first), int(first) + int(count), int(b))
                 for b, (first, count) in self._manifest_cache["buckets"].items()
             )
+            self._snapshot_paths.clear()  # path lists are per-snapshot
             self._manifest_mtime = mtime
         return self._manifest_cache
 
@@ -244,13 +246,19 @@ class IndexStore:
         A bucket listed in the manifest but never materialized (e.g. its
         docs were all stopwords → zero postings) is skipped; such
         directories are never deleted by the engine, so the existence
-        check cannot race the cleanup."""
+        check cannot race the cleanup — which also makes the path list a
+        pure function of the snapshot, cached until the manifest changes
+        (O(|buckets|) stat calls per SNAPSHOT, not per query)."""
         root = os.path.join(self.index_dir, table)
-        paths = []
-        for b in sorted(int(x) for x in self._manifest().get("buckets", {})):
-            p = os.path.join(root, f"bucket={b}")
-            if os.path.isdir(p):
-                paths.append(p)
+        manifest = self._manifest()  # refresh first: clears stale caches
+        paths = self._snapshot_paths.get(table)
+        if paths is None:
+            paths = []
+            for b in sorted(int(x) for x in manifest.get("buckets", {})):
+                p = os.path.join(root, f"bucket={b}")
+                if os.path.isdir(p):
+                    paths.append(p)
+            self._snapshot_paths[table] = paths
         if not paths:  # empty index → empty frame with the right schema
             return self.spark.read.schema(schema).parquet(root)
         return (
