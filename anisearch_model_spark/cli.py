@@ -197,6 +197,11 @@ def main(argv: list[str] | None = None) -> int:
                                        "purge tombstoned docs")
     c.add_argument("--index", required=True)
     c.add_argument("--target-docs", type=int, default=None)
+    c.add_argument("--codec", default=None, choices=["varint", "pfor"],
+                   help="also re-encode every posting buffer to this codec "
+                        "(build encode-fast with varint, serve decode-fast "
+                        "with pfor: ~1.8x faster decode in the query hot "
+                        "loop)")
 
     d = sub.add_parser("delete", help="tombstone docs (takedown/purge): "
                                       "queries exclude them immediately; "
@@ -290,10 +295,14 @@ def main(argv: list[str] | None = None) -> int:
             incremental_append(spark, args.stream_dir, args.index)
             print(json.dumps({"status": "appended"}))
         elif args.cmd == "compact":
-            from anisearch_model_spark.index.compact import compact_index
+            from anisearch_model_spark.index.compact import (
+                compact_index, recode_index)
 
-            print(json.dumps(compact_index(spark, args.index,
-                                           target_docs=args.target_docs)))
+            out = compact_index(spark, args.index,
+                                target_docs=args.target_docs)
+            if args.codec:
+                out.update(recode_index(spark, args.index, args.codec))
+            print(json.dumps(out))
         elif args.cmd == "delete":
             from anisearch_model_spark.index.tombstones import (
                 delete_conversations, delete_docs, purge_deleted)

@@ -278,3 +278,99 @@ def compact_index(spark: SparkSession, index_dir: str,
         "groups_rewritten": len(rewrite),
         "purged_docs": purge["purged_docs"],
     }
+
+
+def recode_index(spark: SparkSession, index_dir: str, codec: str,
+                 params: BM25Params | None = None) -> dict:
+    """Re-encode every posting buffer to ``codec`` (e.g. a varint-built
+    index → PFor for serving: pfor decodes ~1.8× faster and decode
+    dominates the query hot loop — build encode-fast, serve decode-fast).
+
+    Same snapshot swap as compaction: every bucket's blocks are decoded
+    and re-encoded under a FRESH bucket id (block boundaries re-derived,
+    so the result is byte-identical to a fresh ``build_index`` with that
+    codec), one atomic manifest replace commits, superseded dirs drop
+    after.  Rank identity is a theorem (the codec is a lossless container
+    for the same integers) and is asserted by tests.  The doc_map content
+    is unchanged, but both tables share ONE manifest, so its rows are
+    re-staged under the new bucket ids too (a pure copy, no decode).
+    Returns {buckets_recoded, codec}.
+    """
+    import pandas as pd
+
+    from anisearch_model_spark.index.build import POSTINGS_SCHEMA
+    from anisearch_model_spark.index.docmap import BUCKETED_SCHEMA
+    from anisearch_model_spark.index.store import finalize_metadata
+
+    params = params or BM25Params()
+    recover_compaction(index_dir)
+    with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    old_ids = sorted(int(b) for b in manifest["buckets"])
+    if not old_ids:
+        return {"buckets_recoded": 0, "codec": codec}
+    next_id = max(old_ids) + 1
+    id_map = {old: next_id + i for i, old in enumerate(old_ids)}
+
+    def recode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from anisearch_model_spark.config import POSTING_BLOCK_SIZE
+        from anisearch_model_spark.index.codec import (
+            decode_posting_block, encode_bucket_frame)
+
+        cols = ["term", "bucket", "field", "block_id", "n", "cf",
+                "first_doc_id", "last_doc_id", "max_tf", "min_dl",
+                "doc_deltas", "tfs", "dls"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        bucket = id_map[int(pdf["bucket"].iloc[0])]
+        fld = pdf["field"].iloc[0]
+        frames = []
+        for row in pdf.itertuples(index=False):
+            d, t, dl = decode_posting_block(
+                {"first_doc_id": row.first_doc_id,
+                 "doc_deltas": row.doc_deltas, "tfs": row.tfs,
+                 "dls": row.dls})
+            frames.append(pd.DataFrame({
+                "term": row.term, "doc_id": d, "tf": t, "doc_len": dl,
+                "bucket": bucket,
+            }))
+        enc = encode_bucket_frame(
+            pd.concat(frames, ignore_index=True), POSTING_BLOCK_SIZE,
+            codec=codec)
+        enc["field"] = fld
+        return enc[cols]
+
+    postings = (
+        spark.read.schema(POSTINGS_SCHEMA)
+        .parquet(os.path.join(index_dir, "postings"))
+        .groupBy("bucket", "field")
+        .applyInPandas(recode, schema=POSTINGS_SCHEMA)
+    )
+    remap = F.col("bucket")
+    for old, new in id_map.items():
+        remap = F.when(F.col("bucket") == old, F.lit(new)).otherwise(remap)
+    doc_map = (
+        spark.read.schema(BUCKETED_SCHEMA)
+        .parquet(os.path.join(index_dir, "doc_map"))
+        .withColumn("bucket", remap.cast("int"))
+    )
+    tmp_p = os.path.join(index_dir, "_compact_tmp_postings")
+    tmp_d = os.path.join(index_dir, "_compact_tmp_docmap")
+    _stage_partitions(spark, postings, ["bucket", "field"], tmp_p)
+    _stage_partitions(spark, doc_map, ["bucket"], tmp_d)
+    _adopt_staged(os.path.join(index_dir, "postings"), tmp_p)
+    _adopt_staged(os.path.join(index_dir, "doc_map"), tmp_d)
+    for old, new in id_map.items():
+        manifest["buckets"][str(new)] = manifest["buckets"].pop(str(old))
+    _write_manifest(index_dir, manifest)
+    _drop_buckets(os.path.join(index_dir, "postings"), old_ids)
+    _drop_buckets(os.path.join(index_dir, "doc_map"), old_ids)
+    finalize_metadata(
+        spark, index_dir, int(stats["n_docs"]), params,
+        num_buckets=len(manifest["buckets"]),
+        field_col=stats.get("field_col"), codec=codec,
+        rewrite_dictionary=False,
+    )
+    return {"buckets_recoded": len(old_ids), "codec": codec}
