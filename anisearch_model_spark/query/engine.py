@@ -85,6 +85,27 @@ class IndexStore:
                     f"engine requires {INDEX_FORMAT_VERSION} — rebuild the "
                     f"index"
                 )
+        # snapshot integrity at OPEN time: every manifest-listed bucket
+        # with docs must have its doc_map directory.  A missing one means
+        # an interrupted maintenance run left the index mid-heal (e.g. a
+        # legacy rename-aside crash) — without this check the snapshot
+        # reader would silently DROP that bucket's docs from every query.
+        # (Recovery is NOT run here: a reader must never mutate the index
+        # — racing a live compaction's adopt phase would destroy its
+        # uncommitted snapshot.)
+        missing = [
+            b for b, (_lo, cnt) in self._manifest().get("buckets", {}).items()
+            if int(cnt) > 0 and not os.path.isdir(
+                os.path.join(index_dir, "doc_map", f"bucket={b}"))
+        ]
+        if missing:
+            raise ValueError(
+                f"index at {index_dir} is missing doc_map bucket dirs "
+                f"{sorted(missing)[:5]} that the manifest lists — an "
+                f"interrupted compaction/purge left it mid-heal; run "
+                f"index.compact.recover_compaction({index_dir!r}) (or any "
+                f"compact) from the maintenance process, then reopen"
+            )
 
     # sniff breadth: how many parquet files and how many blocks per file
     # the missing-version fallback inspects before accepting an index

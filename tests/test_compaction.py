@@ -398,3 +398,27 @@ def test_recode_index_to_pfor_rank_identical(spark, tmp_path):
                           recursive=True))[0]
     buf = pq.read_table(f, columns=["doc_deltas"]).column("doc_deltas")[0].as_py()
     assert buf[:1] == b"P"
+
+
+def test_index_open_detects_missing_listed_bucket(spark, tmp_path):
+    """Opening an index whose manifest lists a doc_map bucket dir that is
+    not on disk (a legacy rename-aside crash shape) must raise loudly —
+    the snapshot reader would otherwise silently drop that bucket's docs
+    from every query.  recover_compaction restores the aside copy and the
+    index reopens."""
+    import pytest
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.compact import recover_compaction
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, topk_bmw
+
+    d = str(tmp_path / "open_idx")
+    build_index(spark, gen_transcripts(spark, 400, seed=19), d, num_buckets=2)
+    want = topk_bmw(IndexStore(spark, d), "hero battle", 5).toPandas()
+    dm = os.path.join(d, "doc_map", "bucket=0")
+    os.rename(dm, dm + ".old")  # legacy mid-crash shape
+    with pytest.raises(ValueError, match="missing doc_map bucket"):
+        IndexStore(spark, d)
+    assert recover_compaction(d) == "healed"
+    got = topk_bmw(IndexStore(spark, d), "hero battle", 5).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
