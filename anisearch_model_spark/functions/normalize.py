@@ -155,6 +155,53 @@ def term_frequency_frame(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     )
 
 
+_EMPTY_POS = {
+    "doc_id": pd.Series(dtype="int64"),
+    "term": pd.Series(dtype=object),
+    "pos": pd.Series(dtype="int64"),
+    "doc_len": pd.Series(dtype="int64"),
+}
+
+
+def positions_frame(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+    """Vectorized (doc_id, term, pos) occurrence extraction for a batch.
+
+    One row per KEPT token occurrence; ``pos`` is the 0-based index of the
+    occurrence in the document's post-stopword token stream (the same
+    stream whose length is BM25 ``dl``, so ``positions_frame`` and
+    ``term_frequency_frame`` agree on doc_len and tf by construction).
+    Positions over the filtered stream — rather than the raw stream with
+    stopword holes — make "exact phrase" mean *phrase with stopwords
+    elided*, which is the only phrase a stopword-eliding index can promise
+    (Lucene with a stop filter and no position increments behaves the
+    same way).  Runs inside ``mapInPandas`` during the positions build;
+    everything is numpy segment arithmetic, no per-row Python.
+    """
+    norm = normalize_series(texts.reset_index(drop=True))
+    toks = norm.str.findall(_TOKEN_RE)
+    exploded = toks.explode()
+    kept = exploded[exploded.notna() & ~exploded.isin(STOPWORDS)]
+    if kept.empty:
+        return pd.DataFrame(_EMPTY_POS)
+    row_pos = kept.index.to_numpy(dtype="int64")  # nondecreasing: explode order
+    new_doc = np.empty(len(row_pos), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = row_pos[1:] != row_pos[:-1]
+    seg_start = np.nonzero(new_doc)[0]
+    seg_id = np.cumsum(new_doc) - 1
+    pos = np.arange(len(row_pos), dtype="int64") - seg_start[seg_id]
+    doc_len = np.bincount(row_pos, minlength=len(toks))
+    ids = doc_ids.to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": ids[row_pos].astype("int64"),
+            "term": kept.to_numpy(),
+            "pos": pos,
+            "doc_len": doc_len[row_pos].astype("int64"),
+        }
+    )
+
+
 def doc_length_series(texts: pd.Series) -> pd.Series:
     """Post-normalization token counts (BM25 ``dl``)."""
     return tokenize_series(texts).str.len().astype("int64")

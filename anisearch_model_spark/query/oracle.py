@@ -47,6 +47,9 @@ class OracleIndex:
         self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
         self.postings = tf  # columns: doc_id, term, tf, doc_len
         self.df = tf.groupby("term")["doc_id"].nunique()
+        # kept-token streams for the phrase oracle (positions are indices
+        # into the post-stopword stream — the positional-index contract)
+        self.tokens = dict(zip(corpus["doc_id"].to_numpy(), toks))
 
     def query_terms(self, query_text: str) -> list[str]:
         """Tokenize a query with the shared contract; SORTED UNIQUE terms.
@@ -81,6 +84,45 @@ class OracleIndex:
         out = pd.DataFrame(
             {"doc_id": list(per_doc.keys()), "score": list(per_doc.values())}
         )
+        return out.astype({"doc_id": "int64", "score": "float64"})
+
+    def phrase_topk(self, phrase_text: str, k: int = 10) -> pd.DataFrame:
+        """Ground truth for the distributed phrase scorer
+        (query/phrase.py): naive O(corpus) sliding-window phrase count
+        per doc, BM25 of the phrase as a single virtual term (df =
+        matching docs, tf = occurrence count), (score DESC, doc_id ASC),
+        dense 1-based rank."""
+        terms = list(tokenize_series(pd.Series([phrase_text])).iloc[0])
+        empty = pd.DataFrame({
+            "rank": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if not terms or self.avgdl == 0.0:
+            return empty
+        m = len(terms)
+        hits: dict[int, int] = {}
+        for doc_id, toks in self.tokens.items():
+            c = sum(
+                1 for i in range(len(toks) - m + 1) if toks[i: i + m] == terms
+            )
+            if c:
+                hits[int(doc_id)] = c
+        if not hits:
+            return empty
+        df = len(hits)
+        idf = bm25_idf(np.array([df]), self.n_docs)[0]
+        doc_ids = np.fromiter(hits.keys(), dtype="int64")
+        ptf = np.fromiter(hits.values(), dtype="int64")
+        dl = self.doc_len.loc[doc_ids].to_numpy(dtype="int64")
+        score = bm25_term_score(
+            ptf, dl, np.full(len(ptf), idf), self.avgdl,
+            self.params.k1, self.params.b,
+        )
+        out = pd.DataFrame({"doc_id": doc_ids, "score": score}).sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype="int64"))
         return out.astype({"doc_id": "int64", "score": "float64"})
 
     def topk(self, query_text: str, k: int = 10) -> pd.DataFrame:
