@@ -35,8 +35,9 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     ``src/run_server.py:75-93``); this is the dependency-free analog: a
     request per stdin line — either a bare query string or a JSON object
     ``{"query": ..., "k": 10, "page": 1, "role": ..., "exhaustive":
-    false}`` — one JSON response line each, ``quit``/``exit``/EOF ends
-    the loop.  Because the IndexStore lives across requests, the LRU
+    false, "phrase": false}`` — one JSON response line each (``phrase``
+    routes to the exact-phrase scorer over the positional side table),
+    ``quit``/``exit``/EOF ends the loop.  Because the IndexStore lives across requests, the LRU
     (field, term)→df dictionary cache and the negative-term cache
     actually pay off (query/engine.py:48-59), and each request appends a
     query_log evaluation row (the reference's per-query eval record,
@@ -69,6 +70,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             page = int(req.get("page", 1))
             role = req.get("role")
             pruned = not req.get("exhaustive", False)
+            phrase = bool(req.get("phrase", False))
             fields = req.get("fields")
             if fields is not None:
                 if isinstance(fields, str):
@@ -85,6 +87,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         t0 = time.time()
 
         def _run():
+            if phrase:
+                from anisearch_model_spark.query.phrase import phrase_search
+
+                return phrase_search(idx, req["query"], k=k, page=page,
+                                     field=role).collect()
             if fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
@@ -127,7 +134,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     spark, index_dir,
                     ts=dt.datetime.now(), query_text=req["query"], k=k,
                     page=page, field=role,
-                    scorer="bmw" if pruned else "exhaustive",
+                    scorer="phrase" if phrase else
+                           ("bmw" if pruned else "exhaustive"),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -154,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--num-buckets", type=int, default=64)
     b.add_argument("--field-col", default=None,
                    help="build field-qualified postings (e.g. role)")
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional side table (enables "
+                        "exact-phrase search; ~the position volume extra)")
+
+    o = sub.add_parser("positions", help="build or re-sync the positional "
+                                         "side table over an existing index "
+                                         "(required after compact/purge/"
+                                         "append before phrase search)")
+    o.add_argument("--index", required=True)
+    o.add_argument("--codec", default="varint", choices=["varint", "pfor"])
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index", required=True)
@@ -170,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
                              "block)")
     s.add_argument("--role", default=None,
                    help="scope to one field of a field-qualified index")
+    s.add_argument("--phrase", action="store_true",
+                   help="treat the query as an EXACT PHRASE (stopwords "
+                        "elided): consecutive-position match over the "
+                        "positional side table, scored as one virtual "
+                        "BM25 term")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
     s.add_argument("--fields", default=None,
@@ -234,7 +257,16 @@ def main(argv: list[str] | None = None) -> int:
             tr = spark.read.parquet(args.input)
             metrics = build_index(spark, tr, args.index, num_buckets=args.num_buckets,
                                   field_col=args.field_col)
+            if args.positions:
+                from anisearch_model_spark.index.positions import build_positions
+
+                metrics["positions"] = build_positions(spark, args.index)
             print(json.dumps(metrics))
+        elif args.cmd == "positions":
+            from anisearch_model_spark.index.positions import build_positions
+
+            print(json.dumps(build_positions(spark, args.index,
+                                             codec=args.codec)))
         elif args.cmd == "search":
             from anisearch_model_spark.query.engine import IndexStore, search
             from anisearch_model_spark.query.multifield import search_conversations
@@ -248,7 +280,12 @@ def main(argv: list[str] | None = None) -> int:
             import time
 
             t0 = time.time()
-            if args.fields:
+            if args.phrase:
+                from anisearch_model_spark.query.phrase import phrase_search
+
+                out = phrase_search(idx, args.query, k=args.k,
+                                    page=args.page, field=args.role)
+            elif args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
                 out = search_fields(idx, args.query,
@@ -272,7 +309,8 @@ def main(argv: list[str] | None = None) -> int:
                         spark, args.index,
                         ts=dt.datetime.now(), query_text=args.query, k=args.k,
                         page=args.page, field=args.role,
-                        scorer="bmw" if pruned else "exhaustive",
+                        scorer="phrase" if args.phrase else
+                               ("bmw" if pruned else "exhaustive"),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]

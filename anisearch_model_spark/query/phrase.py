@@ -197,3 +197,29 @@ def phrase_topk(index: IndexStore, phrase_text: str, k: int = 10,
             spark.createDataFrame([], schema)
     finally:
         matched.unpersist()
+
+
+def phrase_search(index: IndexStore, phrase_text: str, k: int = 10,
+                  params: BM25Params | None = None, field: str | None = None,
+                  page: int = 1,
+                  with_metadata: bool = True) -> DataFrame:
+    """Phrase top-k + doc metadata, mirroring engine.search's contract:
+    candidate pool scales with the page, the doc_map probe is pruned to
+    the hit buckets with a pushed doc_id IN filter, and the tiny ranked
+    side broadcasts onto it."""
+    from anisearch_model_spark.query.engine import probe_doc_map
+
+    top = phrase_topk(index, phrase_text, k * page, params=params, field=field)
+    if page > 1:
+        lo, hi = (page - 1) * k, page * k
+        top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
+    if not with_metadata:
+        return top
+    top_local, meta = probe_doc_map(
+        index, top, ["doc_id", "conv_id", "turn_idx", "role"]
+    )
+    return (
+        meta.join(F.broadcast(top_local), "doc_id", "inner")
+        .select("rank", "doc_id", "conv_id", "turn_idx", "role", "score")
+        .orderBy("rank")
+    )

@@ -229,6 +229,45 @@ def _first_bigram(idx) -> str:
     raise AssertionError("no bigram in corpus")
 
 
+def test_serve_loop_phrase_requests(spark, tmp_path):
+    """serve mode routes {"phrase": true} to the positional scorer; a
+    phrase request against an index WITHOUT positions is a clean
+    per-request error (the loop survives), and results carry metadata."""
+    import io
+    import json as _json
+
+    from anisearch_model_spark.cli import serve_loop
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from anisearch_model_spark.index.store import build_index
+
+    rows = [
+        ("c0", 0, "user", "alpha beta gamma", None, None),
+        ("c1", 0, "user", "alpha gamma beta", None, None),
+        ("c2", 0, "user", "alpha beta", None, None),
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, num_buckets=1)
+
+    reqs = [
+        _json.dumps({"query": "alpha beta", "phrase": True, "k": 5}),
+        "quit",
+    ]
+    out = io.StringIO()
+    serve_loop(spark, d, io.StringIO("\n".join(reqs)), out, log=False)
+    lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert "error" in lines[0] and "positions" in lines[0]["error"]
+
+    build_positions(spark, d)
+    out = io.StringIO()
+    served = serve_loop(spark, d, io.StringIO("\n".join(reqs)), out, log=False)
+    assert served == 1
+    lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
+    res = lines[0]["results"]
+    assert {r["conv_id"] for r in res} == {"c0", "c2"}
+    assert all("score" in r and "turn_idx" in r for r in res)
+
+
 def test_phrase_field_scoped(spark, tmp_path):
     """On a field-qualified index, a field-scoped phrase only matches that
     field's docs and scores against the field sub-corpus stats."""
