@@ -128,6 +128,20 @@ def main() -> None:
         search(idx, q, 10).collect()
     timings["search_e2e_x3"] = round(time.time() - t0, 3)
 
+    # positional side table: build throughput over the same corpus (the
+    # ONE extra tokenize pass phrase support costs), then exact-phrase
+    # query latency through the virtual-term BM25 scorer
+    from anisearch_model_spark.index.positions import build_positions
+    from anisearch_model_spark.query.phrase import phrase_topk
+
+    t0 = time.time()
+    build_positions(spark, idx_dir)
+    timings["positions_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in ["hero battle", "space pirate", "shadow light"]:
+        _noop_write(phrase_topk(idx, q, 10))
+    timings["phrase_query_x3"] = round(time.time() - t0, 3)
+
     # batch query-set evaluation: 20 queries, ONE distributed job
     import pandas as pd
 
