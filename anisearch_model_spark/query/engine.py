@@ -320,6 +320,97 @@ def parse_query(query_text: str) -> list[str]:
     return sorted(set(toks))
 
 
+# prefix (``term*``) queries expand against the dictionary, capped per
+# prefix at the highest-df terms — the bounded rewrite every production
+# engine uses (Lucene's default maxExpansions is 50 too): an unbounded
+# expansion of a short prefix over a Heaps'-law web vocabulary could pull
+# 10⁶ terms into one disjunction
+MAX_EXPANSIONS = 50
+
+
+def parse_query_terms(query_text: str) -> tuple[list[str], list[str]]:
+    """Shared-contract parse with wildcard support → (literal terms,
+    prefix stems).
+
+    A whitespace-delimited token ending in ``*`` is a PREFIX pattern.
+    Its stem runs through the same normalization as any term (lowercase /
+    contractions / accent fold / punctuation strip) but is NOT
+    stopword-filtered — ``the*`` legitimately targets ``theory``, which
+    the stopword-eliding index does contain.  A stem that normalizes to
+    several tokens (``data-pro*``) contributes its leading tokens as
+    literals and its last as the prefix.  A bare ``*`` or a stem that
+    normalizes away is dropped.  Queries without ``*`` take the exact
+    ``parse_query`` path (mid-token ``*`` is punctuation: stripped)."""
+    if "*" not in (query_text or ""):
+        return parse_query(query_text), []
+    if len(query_text) > MAX_QUERY_CHARS:
+        raise ValueError(f"query must be a string of <= {MAX_QUERY_CHARS} chars")
+    from anisearch_model_spark.functions.normalize import (
+        _TOKEN_RE,
+        normalize_series,
+    )
+
+    literal_words: list[str] = []
+    prefixes: list[str] = []
+    for w in query_text.split():
+        if w.endswith("*") and len(w) > 1:
+            stem_toks = (
+                normalize_series(pd.Series([w[:-1]]))
+                .str.findall(_TOKEN_RE)
+                .iloc[0]
+            )
+            if not stem_toks:
+                continue
+            literal_words.extend(stem_toks[:-1])
+            prefixes.append(stem_toks[-1])
+        else:
+            literal_words.append(w)
+    lits = parse_query(" ".join(literal_words)) if literal_words else []
+    return lits, sorted(set(prefixes))
+
+
+def expand_prefixes(index: IndexStore, prefixes: list[str],
+                    field: str | None = None,
+                    max_expansions: int = MAX_EXPANSIONS) -> dict[str, int]:
+    """Prefix stems → {term: df} from the dictionary, each prefix capped
+    at ``max_expansions`` terms by (df DESC, term ASC).
+
+    The scan pushes ``StringStartsWith`` to the Parquet reader, and the
+    dictionary files are written term-sorted, so row-group min/max stats
+    prune the read to the prefix's range; the collect is bounded at
+    ``max_expansions`` rows per prefix regardless of vocabulary size."""
+    out: dict[str, int] = {}
+    for p in prefixes:
+        d = index.dictionary.filter(F.col("term").startswith(p))
+        if field is not None:
+            d = d.filter(F.col("field") == field)
+        rows = (
+            d.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        for r in rows:
+            out[r["term"]] = int(r["df"])
+    return out
+
+
+def resolve_query_idf(index: IndexStore, query_text: str,
+                      field: str | None = None,
+                      max_expansions: int = MAX_EXPANSIONS) -> dict[str, float]:
+    """term → idf for a query; ``*``-prefixes expand per
+    ``expand_prefixes`` and score as an ordinary disjunction, each
+    expanded term with its own true idf (per-term scoring — matching
+    what the SQL oracle can mirror with a LIKE filter)."""
+    lits, prefixes = parse_query_terms(query_text)
+    n, _ = index.field_stats(field)
+    dfs = dict(index.term_dfs(lits, field=field)) if lits else {}
+    if prefixes:
+        dfs.update(expand_prefixes(index, prefixes, field=field,
+                                   max_expansions=max_expansions))
+    return {t: float(bm25_idf(np.array([df]), n)[0]) for t, df in dfs.items()}
+
+
 def _idf_map(index: IndexStore, terms: list[str],
              field: str | None = None) -> dict[str, float]:
     if not terms:
@@ -373,13 +464,12 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
     df/n/avgdl; the postings scan prunes on the field partition)."""
     params = params or BM25Params()
     spark = index.spark
-    terms = parse_query(query_text)
-    idf = _idf_map(index, terms, field=field)
+    idf = resolve_query_idf(index, query_text, field=field)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
 
-    partials = _partials(index, terms, idf, params, field=field)
+    partials = _partials(index, sorted(idf), idf, params, field=field)
     # fold per doc in ascending term order — fixed float64 summation order
     scored = (
         partials.groupBy("doc_id")
@@ -432,8 +522,7 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     """
     params = params or BM25Params()
     spark = index.spark
-    terms = parse_query(query_text)
-    idf = _idf_map(index, terms, field=field)
+    idf = resolve_query_idf(index, query_text, field=field)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
