@@ -809,6 +809,55 @@ def phrase_topk_documents(spark, sf_dir):
     )
 
 
+_SLOP = 1  # sloppy-phrase entry: gaps of 1 or 2 positions admitted
+
+
+def phrase_slop_topk_documents(spark, sf_dir):
+    """Sloppy-phrase (proximity) top-10 through the REAL positional
+    engine: same corpus and 2-term phrase as ``phrase_topk_documents``
+    but ``slop=1`` — the terms may be separated by one intervening
+    post-stopword token (query/phrase.py::_match_bucket_slop backward
+    reachability; ptf = distinct chain-start positions).  The oracle
+    joins positions with ``p1.pos BETWEEN p0.pos+1 AND p0.pos+2`` and
+    counts DISTINCT start positions — window semantics AND the
+    virtual-term scoring verified cross-engine.  No reference analog
+    (dense cosine only, src/api.py:270-313)."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.positions import build_positions
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, probe_doc_map
+    from anisearch_model_spark.query.phrase import phrase_topk
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_slop_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    build_positions(spark, idx_dir)
+    idx = IndexStore(spark, idx_dir)
+    out = phrase_topk(idx, " ".join(_PHRASE), k=10, slop=_SLOP)
+    top_local, meta = probe_doc_map(idx, out, ["doc_id", "conv_id"])
+    return (
+        meta.join(F.broadcast(top_local), "doc_id", "inner")
+        .select(
+            "rank",
+            F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("rank")
+    )
+
+
 _PREFIX_QUERY = "s* join"  # s* expands to scan/slow/small/sort/spark/stream
 
 
@@ -1037,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_live_docs": bm25_topk_live_docs,
         "phrase_topk_documents": phrase_topk_documents,
+        "phrase_slop_topk_documents": phrase_slop_topk_documents,
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
@@ -1916,6 +1966,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT p0.doc_id, count(*) AS ptf
               FROM pos p0 JOIN pos p1
                 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+              WHERE p0.token = '{_PHRASE[0]}' AND p1.token = '{_PHRASE[1]}'
+              GROUP BY p0.doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            pdf AS (SELECT count(*) AS df FROM m),
+            scored AS (
+              SELECT m.doc_id,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * ptf * ({_K1} + 1)
+                     / (ptf + {_K1} * (1 - {_B} + {_B} * dl / avgdl)) AS s
+              FROM m JOIN dl USING (doc_id), stats, pdf)
+            SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "phrase_slop_topk_documents": f"""
+            WITH tok_list AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0 AND x NOT IN {sw}) AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+              FROM tok_list, unnest(generate_series(1, len(toks))) u(i)),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM tok_list),
+            m AS (
+              SELECT p0.doc_id, count(DISTINCT p0.pos) AS ptf
+              FROM pos p0 JOIN pos p1
+                ON p1.doc_id = p0.doc_id
+               AND p1.pos BETWEEN p0.pos + 1 AND p0.pos + 1 + {_SLOP}
               WHERE p0.token = '{_PHRASE[0]}' AND p1.token = '{_PHRASE[1]}'
               GROUP BY p0.doc_id),
             stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -71,6 +71,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             role = req.get("role")
             pruned = not req.get("exhaustive", False)
             phrase = bool(req.get("phrase", False))
+            slop = int(req.get("slop", 0))
             fields = req.get("fields")
             if fields is not None:
                 if isinstance(fields, str):
@@ -91,7 +92,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 from anisearch_model_spark.query.phrase import phrase_search
 
                 return phrase_search(idx, req["query"], k=k, page=page,
-                                     field=role).collect()
+                                     field=role, slop=slop).collect()
             if fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
@@ -193,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
                         "elided): consecutive-position match over the "
                         "positional side table, scored as one virtual "
                         "BM25 term")
+    s.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: allow in-order gaps up to 1+slop "
+                        "positions between consecutive phrase terms")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
     s.add_argument("--fields", default=None,
@@ -284,7 +288,8 @@ def main(argv: list[str] | None = None) -> int:
                 from anisearch_model_spark.query.phrase import phrase_search
 
                 out = phrase_search(idx, args.query, k=args.k,
-                                    page=args.page, field=args.role)
+                                    page=args.page, field=args.role,
+                                    slop=args.slop)
             elif args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 

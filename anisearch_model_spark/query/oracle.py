@@ -86,12 +86,15 @@ class OracleIndex:
         )
         return out.astype({"doc_id": "int64", "score": "float64"})
 
-    def phrase_topk(self, phrase_text: str, k: int = 10) -> pd.DataFrame:
+    def phrase_topk(self, phrase_text: str, k: int = 10,
+                    slop: int = 0) -> pd.DataFrame:
         """Ground truth for the distributed phrase scorer
         (query/phrase.py): naive O(corpus) sliding-window phrase count
         per doc, BM25 of the phrase as a single virtual term (df =
         matching docs, tf = occurrence count), (score DESC, doc_id ASC),
-        dense 1-based rank."""
+        dense 1-based rank.  ``slop`` relaxes to in-order chains with
+        each consecutive gap in [1, 1 + slop]; tf = distinct chain-start
+        positions (the distributed kernel's contract)."""
         terms = list(tokenize_series(pd.Series([phrase_text])).iloc[0])
         empty = pd.DataFrame({
             "rank": pd.Series(dtype="int64"),
@@ -101,11 +104,28 @@ class OracleIndex:
         if not terms or self.avgdl == 0.0:
             return empty
         m = len(terms)
+
+        def chain_from(toks: list[str], i: int, j: int) -> bool:
+            if j == m - 1:
+                return True
+            for g in range(1, slop + 2):
+                if i + g < len(toks) and toks[i + g] == terms[j + 1] \
+                        and chain_from(toks, i + g, j + 1):
+                    return True
+            return False
+
         hits: dict[int, int] = {}
         for doc_id, toks in self.tokens.items():
-            c = sum(
-                1 for i in range(len(toks) - m + 1) if toks[i: i + m] == terms
-            )
+            if slop == 0:
+                c = sum(
+                    1 for i in range(len(toks) - m + 1)
+                    if toks[i: i + m] == terms
+                )
+            else:
+                c = sum(
+                    1 for i in range(len(toks))
+                    if toks[i] == terms[0] and chain_from(toks, i, 0)
+                )
             if c:
                 hits[int(doc_id)] = c
         if not hits:

@@ -118,8 +118,68 @@ def _match_bucket(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     )
 
 
+def _match_bucket_slop(pdf: pd.DataFrame, terms: list[str],
+                       slop: int) -> pd.DataFrame:
+    """Sloppy variant of ``_match_bucket``: terms must occur IN ORDER
+    with each consecutive gap in [1, 1 + slop] post-stopword positions;
+    ``ptf`` = distinct chain-START positions (reduces to the exact-phrase
+    count at slop = 0).  Backward reachability DP over sorted packed
+    (doc-code << 31 | pos) keys: a term-j occurrence survives iff some
+    surviving term-(j+1) occurrence lies in its forward window — two
+    ``searchsorted`` calls per term, no per-doc loop."""
+    from anisearch_model_spark.index.positions import decode_positions_block
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "ptf": pd.Series(dtype="int64"),
+        "dl": pd.Series(dtype="int64"),
+    })
+    by_term: dict[str, list[tuple]] = {}
+    for row in pdf.itertuples(index=False):
+        doc_ids, tfs, dls, flat_pos = decode_positions_block(row)
+        by_term.setdefault(row.term, []).append((doc_ids, tfs, dls, flat_pos))
+    need = set(terms)
+    if not need.issubset(by_term):
+        return empty
+    # chains start at term 0, so only its docs can match
+    d0 = np.concatenate([p[0] for p in by_term[terms[0]]])
+    dl0 = np.concatenate([p[2] for p in by_term[terms[0]]])
+    cand = np.sort(d0)
+    keys: dict[str, np.ndarray] = {}
+    for t in need:
+        parts = by_term[t]
+        d_rep = np.repeat(np.concatenate([p[0] for p in parts]),
+                          np.concatenate([p[1] for p in parts]))
+        p = np.concatenate([p[3] for p in parts])
+        code = np.searchsorted(cand, d_rep)
+        ok = (code < len(cand)) & (cand[np.minimum(code, len(cand) - 1)] == d_rep)
+        keys[t] = np.sort((code[ok].astype(np.int64) << _POS_BITS) | p[ok])
+    ok_keys = keys[terms[-1]]
+    for j in range(len(terms) - 2, -1, -1):
+        base = keys[terms[j]]
+        if len(ok_keys) == 0 or len(base) == 0:
+            return empty
+        lo = np.searchsorted(ok_keys, base + 1, side="left")
+        hi = np.searchsorted(ok_keys, base + 1 + slop, side="right")
+        ok_keys = base[hi > lo]
+    if len(ok_keys) == 0:
+        return empty
+    codes = (ok_keys >> _POS_BITS).astype(np.int64)
+    counts = np.bincount(codes, minlength=len(cand))
+    hit = counts > 0
+    order = np.argsort(d0, kind="stable")
+    dl_sorted = dl0[order]  # aligned with cand (= sorted d0)
+    return pd.DataFrame(
+        {
+            "doc_id": cand[hit],
+            "ptf": counts[hit].astype("int64"),
+            "dl": dl_sorted[hit],
+        }
+    )
+
+
 def phrase_match(index: IndexStore, phrase_text: str,
-                 field: str | None = None) -> DataFrame:
+                 field: str | None = None, slop: int = 0) -> DataFrame:
     """Matched docs for a phrase: (doc_id, ptf, dl), live docs only."""
     from anisearch_model_spark.index.positions import (
         POSITIONS_SCHEMA,
@@ -132,6 +192,8 @@ def phrase_match(index: IndexStore, phrase_text: str,
             f"phrase search unavailable for index at {index.index_dir}: "
             f"{reason}"
         )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     spark = index.spark
     terms = parse_phrase(phrase_text)
     empty = spark.createDataFrame([], "doc_id long, ptf long, dl long")
@@ -143,8 +205,12 @@ def phrase_match(index: IndexStore, phrase_text: str,
     if field is not None:
         index.field_stats(field)  # validates the field exists
         blocks = blocks.filter(F.col("field") == field)
+    kernel = (
+        (lambda pdf: _match_bucket(pdf, terms)) if slop == 0
+        else (lambda pdf: _match_bucket_slop(pdf, terms, slop))
+    )
     matched = blocks.groupBy("bucket").applyInPandas(
-        lambda pdf: _match_bucket(pdf, terms),
+        kernel,
         schema="doc_id long, ptf long, dl long",
     )
     tomb = index.tombstones
@@ -156,8 +222,11 @@ def phrase_match(index: IndexStore, phrase_text: str,
 
 def phrase_topk(index: IndexStore, phrase_text: str, k: int = 10,
                 params: BM25Params | None = None,
-                field: str | None = None) -> DataFrame:
-    """Top-k phrase BM25: (rank, doc_id, score).
+                field: str | None = None, slop: int = 0) -> DataFrame:
+    """Top-k phrase BM25: (rank, doc_id, score).  ``slop`` relaxes the
+    match to in-order occurrences with gaps ≤ 1 + slop (Lucene-style
+    proximity, ordered variant); scoring is unchanged — the sloppy
+    phrase is still ONE virtual term whose df/tf come from its matches.
 
     One bounded extra action (the matched-doc count → phrase df); the
     matched frame is cached across the two passes and released before
@@ -165,7 +234,7 @@ def phrase_topk(index: IndexStore, phrase_text: str, k: int = 10,
     params = params or BM25Params()
     spark = index.spark
     schema = "rank long, doc_id long, score double"
-    matched = phrase_match(index, phrase_text, field=field)
+    matched = phrase_match(index, phrase_text, field=field, slop=slop)
     matched = matched.persist()
     try:
         df_phrase = matched.count()
@@ -201,7 +270,7 @@ def phrase_topk(index: IndexStore, phrase_text: str, k: int = 10,
 
 def phrase_search(index: IndexStore, phrase_text: str, k: int = 10,
                   params: BM25Params | None = None, field: str | None = None,
-                  page: int = 1,
+                  page: int = 1, slop: int = 0,
                   with_metadata: bool = True) -> DataFrame:
     """Phrase top-k + doc metadata, mirroring engine.search's contract:
     candidate pool scales with the page, the doc_map probe is pruned to
@@ -209,7 +278,8 @@ def phrase_search(index: IndexStore, phrase_text: str, k: int = 10,
     side broadcasts onto it."""
     from anisearch_model_spark.query.engine import probe_doc_map
 
-    top = phrase_topk(index, phrase_text, k * page, params=params, field=field)
+    top = phrase_topk(index, phrase_text, k * page, params=params, field=field,
+                      slop=slop)
     if page > 1:
         lo, hi = (page - 1) * k, page * k
         top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))

@@ -290,3 +290,77 @@ def test_phrase_field_scoped(spark, tmp_path):
     assert all(roles[i] == "assistant" for i in got["doc_id"])
     unscoped = phrase_topk(idx, "alpha beta", k=10).toPandas()
     assert len(unscoped) == 3
+
+
+def test_slop_hand_corpus(spark, tmp_path):
+    """Gap semantics: slop s admits consecutive gaps up to 1 + s."""
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from anisearch_model_spark.index.store import build_index
+
+    rows = [
+        ("c0", 0, "user", "alpha beta tail", None, None),           # gap 1
+        ("c1", 0, "user", "alpha mid beta tail", None, None),       # gap 2
+        ("c2", 0, "user", "alpha mid mid2 beta tail", None, None),  # gap 3
+        ("c3", 0, "user", "beta alpha", None, None),                # reversed
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, num_buckets=1)
+    build_positions(spark, d)
+    idx = IndexStore(spark, d)
+    convs = idx.doc_map.toPandas().set_index("doc_id")["conv_id"]
+
+    def hits(slop):
+        got = phrase_topk(idx, "alpha beta", k=10, slop=slop).toPandas()
+        return {convs[i] for i in got["doc_id"]}
+
+    assert hits(0) == {"c0"}
+    assert hits(1) == {"c0", "c1"}
+    assert hits(2) == {"c0", "c1", "c2"}
+    # order still required at any slop
+    assert "c3" not in hits(5)
+
+
+def test_slop_ptf_counts_distinct_starts(spark, tmp_path):
+    """ptf = distinct chain-start positions: 'alpha beta alpha mid beta'
+    has starts at pos 0 (gap 1) and pos 2 (gap 2) under slop 1."""
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from anisearch_model_spark.index.store import build_index
+
+    rows = [("c0", 0, "user", "alpha beta alpha mid beta", None, None)]
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, num_buckets=1)
+    build_positions(spark, d)
+    idx = IndexStore(spark, d)
+    from anisearch_model_spark.query.phrase import phrase_match
+
+    m0 = phrase_match(idx, "alpha beta", slop=0).toPandas()
+    m1 = phrase_match(idx, "alpha beta", slop=1).toPandas()
+    assert m0["ptf"].tolist() == [1]
+    assert m1["ptf"].tolist() == [2]
+
+
+def test_slop_rank_identity_vs_oracle(pos_index, oracle):
+    """Distributed sloppy phrase == naive oracle chains, bit-identical
+    scores, across slops and real corpus phrases (incl. a trigram)."""
+    phrases = _corpus_phrases(oracle, n=4)
+    for slop in (1, 2):
+        for ph in phrases:
+            got = phrase_topk(pos_index, ph, k=10, slop=slop).toPandas()
+            want = oracle.phrase_topk(ph, k=10, slop=slop)
+            assert got["doc_id"].tolist() == want["doc_id"].tolist(), (ph, slop)
+            assert got["score"].tolist() == want["score"].tolist(), (ph, slop)
+
+
+def test_slop_zero_same_as_exact(pos_index, oracle):
+    """slop=0 must be byte-identical to the exact path on every phrase."""
+    for ph in _corpus_phrases(oracle, n=4):
+        a = phrase_topk(pos_index, ph, k=10, slop=0).toPandas()
+        b = phrase_topk(pos_index, ph, k=10).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_slop_negative_rejected(pos_index):
+    with pytest.raises(ValueError):
+        phrase_topk(pos_index, "alpha beta", slop=-1).count()
