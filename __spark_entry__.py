@@ -901,6 +901,48 @@ def bm25_prefix_topk(spark, sf_dir):
     ).orderBy("rank")
 
 
+_BOOLEAN_QUERY = "+spark window -join"
+
+
+def bm25_boolean_topk(spark, sf_dir):
+    """Boolean-clause query through the REAL engine: ``+spark window
+    -join`` — every hit must contain ``spark``, must NOT contain
+    ``join``, and scores the BM25 sum of its spark/window partials
+    (query/boolean.py: one postings scan for the scoring terms with a
+    conditional required-count aggregate, one doc-id-only scan for the
+    prohibited term excluded via LEFT ANTI join — never a posting-list
+    broadcast).  The oracle mirrors the clauses with HAVING + NOT IN
+    over the tokenized corpus.  The reference engine has no boolean
+    operators (dense cosine, src/api.py:270-313)."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.boolean import boolean_search
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_boolean_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    out = boolean_search(idx, _BOOLEAN_QUERY, k=10)
+    return out.select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("rank")
+
+
 _BATCH_QUERY_TERMS = {1: ("spark", "join"), 2: ("window", "filter"),
                       3: ("query", "spark")}
 
@@ -1088,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_documents": phrase_topk_documents,
         "phrase_slop_topk_documents": phrase_slop_topk_documents,
         "bm25_prefix_topk": bm25_prefix_topk,
+        "bm25_boolean_topk": bm25_boolean_topk,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
         "multimodal_features": multimodal_features,
@@ -2033,6 +2076,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_boolean_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s,
+                     count(CASE WHEN token = 'spark' THEN 1 END) AS n_req
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'window')
+              GROUP BY tf.doc_id)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
+            FROM scored
+            WHERE n_req = 1
+              AND doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'join')
+            ORDER BY rank LIMIT 10
         """,
         "bm25_batch_topk": f"""
             WITH toks AS (

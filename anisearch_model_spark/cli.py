@@ -72,6 +72,10 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             pruned = not req.get("exhaustive", False)
             phrase = bool(req.get("phrase", False))
             slop = int(req.get("slop", 0))
+            boolean = bool(req.get("boolean", False))
+            if phrase and boolean:
+                raise ValueError("'phrase' and 'boolean' are mutually "
+                                 "exclusive")
             fields = req.get("fields")
             if fields is not None:
                 if isinstance(fields, str):
@@ -93,6 +97,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return phrase_search(idx, req["query"], k=k, page=page,
                                      field=role, slop=slop).collect()
+            if boolean:
+                from anisearch_model_spark.query.boolean import boolean_search
+
+                return boolean_search(idx, req["query"], k=k, page=page,
+                                      field=role).collect()
             if fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
@@ -136,7 +145,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     ts=dt.datetime.now(), query_text=req["query"], k=k,
                     page=page, field=role,
                     scorer="phrase" if phrase else
-                           ("bmw" if pruned else "exhaustive"),
+                           ("boolean" if boolean else
+                            ("bmw" if pruned else "exhaustive")),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -197,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--slop", type=int, default=0,
                    help="with --phrase: allow in-order gaps up to 1+slop "
                         "positions between consecutive phrase terms")
+    s.add_argument("--boolean", action="store_true",
+                   help="parse +term (required) / -term (prohibited) "
+                        "clause markers; plain terms remain optional "
+                        "scoring clauses")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
     s.add_argument("--fields", default=None,
@@ -290,6 +304,11 @@ def main(argv: list[str] | None = None) -> int:
                 out = phrase_search(idx, args.query, k=args.k,
                                     page=args.page, field=args.role,
                                     slop=args.slop)
+            elif args.boolean:
+                from anisearch_model_spark.query.boolean import boolean_search
+
+                out = boolean_search(idx, args.query, k=args.k,
+                                     page=args.page, field=args.role)
             elif args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
@@ -315,7 +334,8 @@ def main(argv: list[str] | None = None) -> int:
                         ts=dt.datetime.now(), query_text=args.query, k=args.k,
                         page=args.page, field=args.role,
                         scorer="phrase" if args.phrase else
-                               ("bmw" if pruned else "exhaustive"),
+                               ("boolean" if args.boolean else
+                                ("bmw" if pruned else "exhaustive")),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]
