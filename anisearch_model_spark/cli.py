@@ -73,6 +73,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             phrase = bool(req.get("phrase", False))
             slop = int(req.get("slop", 0))
             boolean = bool(req.get("boolean", False))
+            snippets = bool(req.get("snippets", False))
             if phrase and boolean:
                 raise ValueError("'phrase' and 'boolean' are mutually "
                                  "exclusive")
@@ -85,6 +86,10 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 else:
                     raise ValueError("'fields' must be a list of field names "
                                      "or a comma-separated string")
+            if snippets and (phrase or boolean or fields is not None
+                             or req.get("conversations")):
+                raise ValueError("'snippets' applies to plain term "
+                                 "queries only")
         except (json.JSONDecodeError, ValueError, TypeError) as e:
             out_stream.write(json.dumps({"error": str(e)}) + "\n")
             out_stream.flush()
@@ -113,6 +118,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return search_conversations(idx, req["query"], k=k,
                                             page=page, pruned=pruned).collect()
+            if snippets:
+                from anisearch_model_spark.query.highlight import (
+                    search_snippets)
+
+                return search_snippets(idx, req["query"], k=k, page=page,
+                                       field=role, pruned=pruned).collect()
             return search(idx, req["query"], k=k, page=page, role=role,
                           pruned=pruned).collect()
 
@@ -211,6 +222,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="parse +term (required) / -term (prohibited) "
                         "clause markers; plain terms remain optional "
                         "scoring clauses")
+    s.add_argument("--snippets", action="store_true",
+                   help="attach a highlighted snippet column (matched "
+                        "terms wrapped in **, densest text window)")
     s.add_argument("--conversations", action="store_true",
                    help="dedup results by conv_id keeping the best turn")
     s.add_argument("--fields", default=None,
@@ -309,6 +323,13 @@ def main(argv: list[str] | None = None) -> int:
 
                 out = boolean_search(idx, args.query, k=args.k,
                                      page=args.page, field=args.role)
+            elif args.snippets:
+                from anisearch_model_spark.query.highlight import (
+                    search_snippets)
+
+                out = search_snippets(idx, args.query, k=args.k,
+                                      page=args.page, field=args.role,
+                                      pruned=pruned)
             elif args.fields:
                 from anisearch_model_spark.query.multifield import search_fields
 
