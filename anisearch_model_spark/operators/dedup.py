@@ -57,10 +57,20 @@ def _tokens(df: DataFrame, id_col: str, text_col: str,
     # no .distinct() here: array_distinct already makes rows unique per
     # (doc_id, token), and a distinct would plan a full exchange of the
     # LARGEST intermediate in every content-dedup operator (~10-40× the
-    # corpus row count) for nothing — test_plans asserts its absence
+    # corpus row count) for nothing — test_plans asserts its absence.
+    # BUT that exchange was also what spread a few-file scan across the
+    # cluster (a 50 MB parquet file is ONE scan partition; dropping the
+    # distinct alone serialized the whole hash pipeline onto it —
+    # measured 13s → 98s at sf0.1).  Repartition the COMPACT doc rows
+    # before exploding instead: same parallelism, and the shuffle moves
+    # ~corpus bytes, not the 10-40× token relation.
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
             F.explode(F.array_distinct(units)).alias("token"),
         )
         .filter(F.length("token") > 0)

@@ -91,18 +91,31 @@ def test_df_cache_lru_bound(spark, index_dir):
     assert (None, "magic") in idx._df_cache
 
 
-def test_tokens_relation_has_no_shuffle(spark):
+def test_tokens_relation_shuffles_compact_rows_only(spark):
     """The (doc_id, token) relation — the largest intermediate in every
-    content-dedup operator — must plan as scan→project→generate→filter
-    with ZERO Exchange: explode(array_distinct(...)) already makes rows
-    unique per (doc_id, token), so a .distinct() there would shuffle the
-    whole relation for nothing."""
+    content-dedup operator — must never itself be shuffled: rows are
+    already unique per (doc_id, token) after explode(array_distinct(...)),
+    so a .distinct() there would exchange the whole relation for nothing.
+    The plan's ONE Exchange is the pre-explode repartition of the COMPACT
+    doc rows — it must sit BELOW the Generate (a few-file scan is a
+    few-partition scan; without it the entire hash pipeline serializes
+    onto one task — measured 13s → 98s at sf0.1)."""
     from anisearch_model_spark.operators.dedup import _tokens
-    from anisearch_model_spark.plans.inspect import exchange_count
+    from anisearch_model_spark.plans.inspect import (
+        exchange_count,
+        formatted_plan,
+    )
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    assert exchange_count(_tokens(d, "doc_id", "text")) == 0
-    assert exchange_count(_tokens(d, "doc_id", "text", shingle_size=3)) == 0
+    for toks in (_tokens(d, "doc_id", "text"),
+                 _tokens(d, "doc_id", "text", shingle_size=3)):
+        assert exchange_count(toks) == 1
+        plan = formatted_plan(toks)
+        # the operator list in a formatted plan is top-down: the Generate
+        # (explode) consumes the Exchange's output, so it prints first
+        gen = plan.index("Generate")
+        exch = plan.index("Exchange")
+        assert gen < exch, "repartition must happen BEFORE the explode"
 
 
 def test_simhash_has_single_generate(spark):
