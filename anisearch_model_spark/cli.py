@@ -26,6 +26,45 @@ import json
 import sys
 
 
+def index_info(index_dir: str) -> dict:
+    """Driver-side index health snapshot — manifest/stats/tombstones/
+    positions, no SparkSession and no jobs (everything here is bounded
+    metadata: the manifest, two JSON files, and the tombstone table,
+    which is O(deletes since purge) by design)."""
+    import os
+
+    from anisearch_model_spark.index.positions import (
+        positions_meta,
+        positions_ready,
+    )
+    from anisearch_model_spark.index.tombstones import load_tombstones
+
+    with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    with open(os.path.join(index_dir, "manifest.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    buckets = manifest.get("buckets", {})
+    ready, reason = positions_ready(index_dir)
+    pmeta = positions_meta(index_dir)
+    out = {
+        "index_dir": index_dir,
+        "n_docs": stats.get("n_docs"),
+        "avgdl": stats.get("avgdl"),
+        "codec": stats.get("codec"),
+        "field_col": stats.get("field_col"),
+        "format_version": stats.get("index_format_version"),
+        "tokenizer_version": stats.get("tokenizer_version"),
+        "n_buckets": len(buckets),
+        "tombstones": int(len(load_tombstones(index_dir))),
+        "positions": {
+            "ready": ready,
+            **({"reason": reason} if not ready else {}),
+            **({"codec": pmeta.get("codec")} if pmeta else {}),
+        },
+    }
+    return out
+
+
 def serve_loop(spark, index_dir: str, in_stream, out_stream,
                log: bool = True) -> int:
     """Line-oriented query service over ONE session and ONE IndexStore.
@@ -274,7 +313,28 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-turns", type=int, default=100_000)
     g.add_argument("--seed", type=int, default=42)
 
+    i = sub.add_parser("info", help="index health snapshot: corpus stats, "
+                                    "manifest buckets, codec, tombstones, "
+                                    "positions state — one JSON line, no "
+                                    "Spark jobs")
+    i.add_argument("--index", required=True)
+
+    r = sub.add_parser("recover", help="heal an interrupted compaction/"
+                                       "purge (delete directories the "
+                                       "committed manifest does not list)")
+    r.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
+
+    # pure-metadata commands: no SparkSession (sub-second on any index)
+    if args.cmd == "info":
+        print(json.dumps(index_info(args.index)))
+        return 0
+    if args.cmd == "recover":
+        from anisearch_model_spark.index.compact import recover_compaction
+
+        print(json.dumps({"recovered": recover_compaction(args.index)}))
+        return 0
 
     from pyspark.sql import SparkSession
 

@@ -149,3 +149,23 @@ def test_boolean_respects_tombstones(spark, tmp_path):
     delete_docs(spark, d, [dead])
     post = boolean_topk(i, "+alpha beta", k=10).toPandas()
     assert post["doc_id"].tolist() == [x for x in pre["doc_id"] if x != dead]
+
+
+def test_cli_info_and_recover(spark, tmp_path, capsys):
+    """`info` and `recover` are sparkless metadata commands."""
+    import json
+
+    from anisearch_model_spark.cli import main
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+
+    rows = [("c0", 0, "user", "alpha beta", None, None)]
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), d,
+                num_buckets=1)
+    assert main(["info", "--index", d]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 1 and out["n_buckets"] == 1
+    assert out["tombstones"] == 0 and out["positions"]["ready"] is False
+    assert main(["recover", "--index", d]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["recovered"] is None
