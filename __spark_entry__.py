@@ -901,6 +901,49 @@ def bm25_prefix_topk(spark, sf_dir):
     ).orderBy("rank")
 
 
+_FUZZY_QUERY = "par~ join"  # par~2 expands to part (d=1) + spark (d=2)
+
+
+def bm25_fuzzy_topk(spark, sf_dir):
+    """Fuzzy (edit-distance) query through the REAL engine: ``par~ join``
+    — the ``par~`` stem expands against the index dictionary to every
+    term within Levenshtein distance 2 (query/engine.py::expand_fuzzy —
+    JVM-side F.levenshtein over the distributed dictionary scan with a
+    length-difference prefilter, capped at MAX_EXPANSIONS by (df DESC,
+    term ASC)) and scores as a plain BM25 disjunction with per-term idf.
+    The oracle mirrors the expansion with DuckDB's levenshtein() over
+    the tokenized corpus — term selection AND scoring verified
+    cross-engine (both engines implement classic Levenshtein, asserted
+    equal here by the hash match).  The reference engine has no lexical
+    matching at all (dense cosine, src/api.py:270-313)."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, search
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_fuzzy_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    out = search(idx, _FUZZY_QUERY, k=10)
+    return out.select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("rank")
+
+
 _BOOLEAN_QUERY = "+spark window -join"
 
 
@@ -1131,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_topk_documents": phrase_slop_topk_documents,
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_boolean_topk": bm25_boolean_topk,
+        "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
         "multimodal_features": multimodal_features,
@@ -2072,6 +2116,30 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY token) AS s
               FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
               WHERE token LIKE 's%' OR token = 'join'
+              GROUP BY tf.doc_id)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_fuzzy_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE levenshtein(token, 'par') <= 2 OR token = 'join'
               GROUP BY tf.doc_id)
             SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score

@@ -328,21 +328,28 @@ def parse_query(query_text: str) -> list[str]:
 MAX_EXPANSIONS = 50
 
 
-def parse_query_terms(query_text: str) -> tuple[list[str], list[str]]:
-    """Shared-contract parse with wildcard support → (literal terms,
-    prefix stems).
+def parse_query_terms(
+    query_text: str,
+) -> tuple[list[str], list[str], list[tuple[str, int]]]:
+    """Shared-contract parse with wildcard/fuzzy support → (literal
+    terms, prefix stems, fuzzy (stem, max_edits) pairs).
 
-    A whitespace-delimited token ending in ``*`` is a PREFIX pattern.
-    Its stem runs through the same normalization as any term (lowercase /
-    contractions / accent fold / punctuation strip) but is NOT
-    stopword-filtered — ``the*`` legitimately targets ``theory``, which
-    the stopword-eliding index does contain.  A stem that normalizes to
-    several tokens (``data-pro*``) contributes its leading tokens as
-    literals and its last as the prefix.  A bare ``*`` or a stem that
-    normalizes away is dropped.  Queries without ``*`` take the exact
-    ``parse_query`` path (mid-token ``*`` is punctuation: stripped)."""
-    if "*" not in (query_text or ""):
-        return parse_query(query_text), []
+    A whitespace-delimited token ending in ``*`` is a PREFIX pattern; one
+    ending in ``~`` or ``~N`` (N in 1..2; bare ``~`` means 2 — Lucene's
+    default fuzziness) is a FUZZY pattern; ``~0`` is just the exact
+    term.  Stems run through the same normalization as any term
+    (lowercase / contractions / accent fold / punctuation strip) but are
+    NOT stopword-filtered — ``the*`` legitimately targets ``theory``,
+    which the stopword-eliding index does contain.  A stem that
+    normalizes to several tokens (``data-pro*``) contributes its leading
+    tokens as literals and its last as the pattern.  A bare marker or a
+    stem that normalizes away is dropped.  Queries without markers take
+    the exact ``parse_query`` path (mid-token markers are punctuation:
+    stripped)."""
+    import re as _re
+
+    if not any(c in (query_text or "") for c in "*~"):
+        return parse_query(query_text), [], []
     if len(query_text) > MAX_QUERY_CHARS:
         raise ValueError(f"query must be a string of <= {MAX_QUERY_CHARS} chars")
     from anisearch_model_spark.functions.normalize import (
@@ -350,23 +357,70 @@ def parse_query_terms(query_text: str) -> tuple[list[str], list[str]]:
         normalize_series,
     )
 
+    def stem_tokens(stem: str) -> list[str]:
+        return (
+            normalize_series(pd.Series([stem])).str.findall(_TOKEN_RE).iloc[0]
+        )
+
     literal_words: list[str] = []
     prefixes: list[str] = []
+    fuzzy: dict[str, int] = {}
     for w in query_text.split():
-        if w.endswith("*") and len(w) > 1:
-            stem_toks = (
-                normalize_series(pd.Series([w[:-1]]))
-                .str.findall(_TOKEN_RE)
-                .iloc[0]
-            )
-            if not stem_toks:
+        fm = _re.match(r"^(.+)~([0-2]?)$", w)
+        if fm:
+            edits = int(fm.group(2)) if fm.group(2) else 2
+            toks = stem_tokens(fm.group(1))
+            if not toks:
                 continue
-            literal_words.extend(stem_toks[:-1])
-            prefixes.append(stem_toks[-1])
+            literal_words.extend(toks[:-1])
+            if edits == 0:
+                literal_words.append(toks[-1])
+            else:
+                # repeated stem: the widest requested distance wins
+                fuzzy[toks[-1]] = max(edits, fuzzy.get(toks[-1], 0))
+        elif w.endswith("*") and len(w) > 1:
+            toks = stem_tokens(w[:-1])
+            if not toks:
+                continue
+            literal_words.extend(toks[:-1])
+            prefixes.append(toks[-1])
         else:
             literal_words.append(w)
     lits = parse_query(" ".join(literal_words)) if literal_words else []
-    return lits, sorted(set(prefixes))
+    return lits, sorted(set(prefixes)), sorted(fuzzy.items())
+
+
+def expand_fuzzy(index: IndexStore, stems: list[tuple[str, int]],
+                 field: str | None = None,
+                 max_expansions: int = MAX_EXPANSIONS) -> dict[str, int]:
+    """Fuzzy stems ``(stem, max_edits)`` → {term: df}: dictionary terms
+    within Levenshtein distance ``max_edits`` of the stem (the exact term
+    itself included at distance 0), capped like prefixes at the
+    highest-df ``max_expansions`` terms per stem.
+
+    The distance runs JVM-side (``F.levenshtein``, whole-stage codegen)
+    over the distributed dictionary scan — never a vocabulary collect —
+    with a cheap length-difference prefilter cutting most of the DP
+    work.  A dedicated n-gram/automaton term index (Lucene's FST walk)
+    would prune further; at ≤ a few 10⁸ dictionary rows per executor
+    this linear scan is one codegen stage and stays sub-second."""
+    out: dict[str, int] = {}
+    for stem, max_edits in stems:
+        d = index.dictionary.filter(
+            (F.abs(F.length(F.col("term")) - len(stem)) <= max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(stem)) <= max_edits)
+        )
+        if field is not None:
+            d = d.filter(F.col("field") == field)
+        rows = (
+            d.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        for r in rows:
+            out[r["term"]] = int(r["df"])
+    return out
 
 
 def expand_prefixes(index: IndexStore, prefixes: list[str],
@@ -398,16 +452,20 @@ def expand_prefixes(index: IndexStore, prefixes: list[str],
 def resolve_query_idf(index: IndexStore, query_text: str,
                       field: str | None = None,
                       max_expansions: int = MAX_EXPANSIONS) -> dict[str, float]:
-    """term → idf for a query; ``*``-prefixes expand per
-    ``expand_prefixes`` and score as an ordinary disjunction, each
-    expanded term with its own true idf (per-term scoring — matching
-    what the SQL oracle can mirror with a LIKE filter)."""
-    lits, prefixes = parse_query_terms(query_text)
+    """term → idf for a query; ``*``-prefixes and ``~``-fuzzy stems
+    expand per ``expand_prefixes``/``expand_fuzzy`` and score as an
+    ordinary disjunction, each expanded term with its own true idf
+    (per-term scoring — matching what the SQL oracle can mirror with a
+    LIKE / levenshtein filter)."""
+    lits, prefixes, fuzzy = parse_query_terms(query_text)
     n, _ = index.field_stats(field)
     dfs = dict(index.term_dfs(lits, field=field)) if lits else {}
     if prefixes:
         dfs.update(expand_prefixes(index, prefixes, field=field,
                                    max_expansions=max_expansions))
+    if fuzzy:
+        dfs.update(expand_fuzzy(index, fuzzy, field=field,
+                                max_expansions=max_expansions))
     return {t: float(bm25_idf(np.array([df]), n)[0]) for t, df in dfs.items()}
 
 

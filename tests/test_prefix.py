@@ -31,19 +31,19 @@ def idx(spark, index_dir):
 
 def test_parse_query_terms_no_wildcard_is_parse_query(idx):
     q = "the hero battles a dragon"
-    assert parse_query_terms(q) == (parse_query(q), [])
+    assert parse_query_terms(q) == (parse_query(q), [], [])
 
 
 def test_parse_query_terms_extracts_prefixes():
-    lits, prefixes = parse_query_terms("hero drag* bat*")
+    lits, prefixes, fuzzy = parse_query_terms("hero drag* bat*")
     assert prefixes == ["bat", "drag"]
-    assert lits == ["hero"]
+    assert lits == ["hero"] and fuzzy == []
 
 
 def test_parse_query_terms_stem_is_normalized_not_stopworded():
     # stems normalize (lowercase) but are NOT stopword-filtered:
     # "The*" must survive as prefix "the" (it may match "theory")
-    lits, prefixes = parse_query_terms("The* hero")
+    lits, prefixes, _ = parse_query_terms("The* hero")
     assert prefixes == ["the"]
     assert lits == ["hero"]
 
@@ -51,13 +51,13 @@ def test_parse_query_terms_stem_is_normalized_not_stopworded():
 def test_parse_query_terms_multi_token_stem():
     # "data-pro*" normalizes to two tokens: leading ones are literals,
     # the last is the prefix
-    lits, prefixes = parse_query_terms("data-pro*")
+    lits, prefixes, _ = parse_query_terms("data-pro*")
     assert prefixes == ["pro"]
     assert lits == ["data"]
 
 
 def test_parse_query_terms_bare_star_dropped():
-    assert parse_query_terms("* hero") == (["hero"], [])
+    assert parse_query_terms("* hero") == (["hero"], [], [])
 
 
 def test_expand_prefixes_matches_dictionary(spark, idx):
@@ -155,3 +155,69 @@ def test_resolve_query_idf_merges_literals_and_expansions(idx):
         assert both[t] == v
     for t, v in pre.items():
         assert both[t] == v
+
+
+def test_parse_query_terms_fuzzy_markers():
+    lits, prefixes, fuzzy = parse_query_terms("hero~ drag~1 exact~0 plain")
+    assert fuzzy == [("drag", 1), ("hero", 2)]
+    assert prefixes == []
+    assert sorted(lits) == ["exact", "plain"]
+
+
+def test_parse_query_terms_fuzzy_widest_distance_wins():
+    _, _, fuzzy = parse_query_terms("hero~1 hero~2")
+    assert fuzzy == [("hero", 2)]
+
+
+def test_expand_fuzzy_matches_dictionary(spark, idx):
+    from anisearch_model_spark.query.engine import expand_fuzzy
+
+    rows = (
+        idx.dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    import numpy as np
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = np.arange(n + 1)
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return int(d[n])
+
+    want = {r["term"]: int(r["df"]) for r in rows if lev(r["term"], "hero") <= 2}
+    got = expand_fuzzy(idx, [("hero", 2)])
+    assert got == want
+    assert "hero" in got  # distance 0: the exact term is always included
+
+
+def test_fuzzy_query_identical_to_spelled_out_disjunction(spark, idx):
+    from anisearch_model_spark.query.engine import expand_fuzzy
+
+    expanded = sorted(expand_fuzzy(idx, [("hero", 2)]))
+    a = topk_exhaustive(idx, "hero~ dragon", 10).collect()
+    b = topk_exhaustive(idx, " ".join(expanded + ["dragon"]), 10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == \
+        [(r["rank"], r["doc_id"], r["score"]) for r in b]
+    assert a
+
+
+def test_fuzzy_typo_recovers_term(spark, tmp_path):
+    """A misspelled query term ('tabel~') still finds 'table' docs."""
+    from anisearch_model_spark.datagen import TRANSCRIPT_SCHEMA
+    from anisearch_model_spark.index.store import build_index
+
+    rows = [
+        ("c0", 0, "user", "table scan speed", None, None),
+        ("c1", 0, "user", "nothing relevant", None, None),
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, num_buckets=1)
+    i = IndexStore(spark, d)
+    got = search(i, "tabel~", 10).collect()
+    assert [r["conv_id"] for r in got] == ["c0"]
+    assert search(i, "tabel~1", 10).count() == 0  # distance is 2
