@@ -50,9 +50,11 @@ from anisearch_model_spark.query.engine import (
 
 
 def parse_boolean(query_text: str) -> tuple[list[str], list[str], list[str]]:
-    """Query string → (required, optional, prohibited), each a sorted
-    unique list of normalized terms.  A term appearing in two clause
-    classes resolves required > prohibited > optional (``+x -x x`` is a
+    """Query string → (required, optional, prohibited) RAW clause stems,
+    markers stripped but stems unparsed — a stem may itself be a prefix
+    (``bat*``) or fuzzy (``tabel~``) pattern, resolved against the
+    dictionary at query time.  A stem appearing under two markers
+    resolves required > prohibited > optional (``+x -x x`` is a
     contradiction the caller meant as MUST; Lucene parses it the same
     way: the last explicit marker wins — we pick the strongest)."""
     if query_text is None or len(query_text) > MAX_QUERY_CHARS:
@@ -62,14 +64,36 @@ def parse_boolean(query_text: str) -> tuple[list[str], list[str], list[str]]:
     opt: set[str] = set()
     for w in query_text.split():
         if w.startswith("+") and len(w) > 1:
-            req.update(parse_query(w[1:]))
+            req.add(w[1:])
         elif w.startswith("-") and len(w) > 1:
-            pro.update(parse_query(w[1:]))
+            pro.add(w[1:])
         else:
-            opt.update(parse_query(w))
+            opt.add(w)
     pro -= req
     opt -= req | pro
     return sorted(req), sorted(opt), sorted(pro)
+
+
+def _expand_stem(index: IndexStore, stem: str,
+                 field: str | None) -> tuple[list[str], list[list[str]]]:
+    """One raw stem → (literal terms, pattern clauses).  Each literal is
+    its own AND-able unit; each ``*``/``~`` pattern becomes ONE clause
+    whose members are its dictionary expansion (OR within the clause —
+    ``+bat*`` means "must contain SOME bat-prefixed term", the Lucene
+    multi-term-in-boolean semantics)."""
+    from anisearch_model_spark.query.engine import (
+        expand_fuzzy,
+        expand_prefixes,
+        parse_query_terms,
+    )
+
+    lits, prefixes, fuzzy = parse_query_terms(stem)
+    pattern_clauses: list[list[str]] = []
+    for p in prefixes:
+        pattern_clauses.append(sorted(expand_prefixes(index, [p], field=field)))
+    for fz in fuzzy:
+        pattern_clauses.append(sorted(expand_fuzzy(index, [fz], field=field)))
+    return lits, pattern_clauses
 
 
 def _doc_ids_for_terms(index: IndexStore, terms: list[str],
@@ -103,23 +127,51 @@ def _doc_ids_for_terms(index: IndexStore, terms: list[str],
 def boolean_topk(index: IndexStore, query_text: str, k: int = 10,
                  params: BM25Params | None = None,
                  field: str | None = None) -> DataFrame:
-    """Top-k boolean BM25: (rank, doc_id, score)."""
+    """Top-k boolean BM25: (rank, doc_id, score).
+
+    Required clauses are satisfied per CLAUSE: a literal stem's tokens
+    are each their own clause (all must appear), a pattern stem's
+    expansion is one OR-clause (some member must appear).  Satisfaction
+    is counted with a broadcast term→clause-ids map folded inside the
+    same per-doc aggregate as the score — no extra scan, no join
+    duplication (a term in two clauses contributes both ids from ONE
+    partial row)."""
     params = params or BM25Params()
     spark = index.spark
-    required, optional, prohibited = parse_boolean(query_text)
+    req_stems, opt_stems, pro_stems = parse_boolean(query_text)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
-    scoring = sorted(set(required) | set(optional))
+
+    clauses: list[list[str]] = []
+    optional: set[str] = set()
+    prohibited: set[str] = set()
+    for stem in req_stems:
+        lits, patterns = _expand_stem(index, stem, field)
+        clauses.extend([t] for t in lits)
+        clauses.extend(patterns)
+    for stem in opt_stems:
+        lits, patterns = _expand_stem(index, stem, field)
+        optional.update(lits)
+        for p in patterns:
+            optional.update(p)
+    for stem in pro_stems:
+        lits, patterns = _expand_stem(index, stem, field)
+        prohibited.update(lits)
+        for p in patterns:
+            prohibited.update(p)
+
+    scoring = sorted({t for c in clauses for t in c} | optional)
     if not scoring:
         return empty  # pure-negative (or empty) query matches nothing
     idf = _idf_map(index, scoring, field=field)
-    # a required term absent from the corpus can never be satisfied
-    if any(t not in idf for t in required):
-        return empty
     if not idf:
+        return empty
+    # a clause with no corpus-present member can never be satisfied
+    clauses = [[t for t in c if t in idf] for c in clauses]
+    if any(not c for c in clauses):
         return empty
 
     partials = _partials(index, sorted(idf), idf, params, field=field)
-    n_req = len(required)
+    n_clauses = len(clauses)
     agg = [
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "pscore"))),
@@ -127,15 +179,32 @@ def boolean_topk(index: IndexStore, query_text: str, k: int = 10,
             lambda acc, x: acc + x["pscore"],
         ).alias("score")
     ]
-    if n_req:
+    if n_clauses:
+        term_clauses: dict[str, list[int]] = {}
+        for ci, c in enumerate(clauses):
+            for t in c:
+                term_clauses.setdefault(t, []).append(ci)
+        # literal term→array<clause id> map; a term missing from the map
+        # yields NULL, which collect_list skips
+        cmap = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in term_clauses]),
+            F.array(*[
+                F.array(*[F.lit(i) for i in ids])
+                for ids in term_clauses.values()
+            ]),
+        )
         agg.append(
-            F.count(F.when(F.col("term").isin(required), 1)).alias("n_req")
+            F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list(cmap[F.col("term")]))
+                )
+            ).alias("n_sat")
         )
     scored = partials.groupBy("doc_id").agg(*agg)
-    if n_req:
-        scored = scored.filter(F.col("n_req") == n_req).drop("n_req")
+    if n_clauses:
+        scored = scored.filter(F.col("n_sat") == n_clauses).drop("n_sat")
     if prohibited:
-        bad = _doc_ids_for_terms(index, prohibited, field=field)
+        bad = _doc_ids_for_terms(index, sorted(prohibited), field=field)
         scored = scored.join(bad, "doc_id", "left_anti")
     tomb = index.tombstones
     if len(tomb):

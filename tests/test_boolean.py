@@ -54,10 +54,10 @@ def test_parse_boolean_precedence():
     assert parse_boolean("-y y") == ([], [], ["y"])
 
 
-def test_parse_boolean_multi_token_stem():
-    req, opt, pro = parse_boolean("-state-of-the-art alpha")
-    assert pro == ["art", "state"]  # stopwords elided from the stem
-    assert req == [] and opt == ["alpha"]
+def test_parse_boolean_returns_raw_stems():
+    req, opt, pro = parse_boolean("-state-of-the-art alpha +bat*")
+    assert pro == ["state-of-the-art"]  # stems stay raw until expansion
+    assert req == ["bat*"] and opt == ["alpha"]
 
 
 def test_no_markers_identical_to_exhaustive(spark, idx):
@@ -169,3 +169,58 @@ def test_cli_info_and_recover(spark, tmp_path, capsys):
     assert main(["recover", "--index", d]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["recovered"] is None
+
+
+@pytest.fixture(scope="module")
+def pat(spark, tmp_path_factory):
+    rows = [
+        ("c0", 0, "user", "bat cave alpha", None, None),
+        ("c1", 0, "user", "batch job alpha", None, None),
+        ("c2", 0, "user", "battle cry alpha", None, None),
+        ("c3", 0, "user", "alpha only", None, None),
+        ("c4", 0, "user", "bat batch", None, None),
+    ]
+    d = str(tmp_path_factory.mktemp("boolpat") / "idx")
+    build_index(spark, spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), d,
+                num_buckets=1)
+    i = IndexStore(spark, d)
+    convs = i.doc_map.toPandas().set_index("doc_id")["conv_id"]
+    return i, convs
+
+
+def test_required_prefix_clause_is_or_within(pat):
+    # +bat* = "must contain SOME bat-prefixed term"
+    assert _convs(pat, "+bat* alpha") == {"c0", "c1", "c2", "c4"}
+
+
+def test_two_required_prefix_clauses_and_between(pat):
+    # +bat* +c* = some bat-term AND some c-term (cave / cry)
+    assert _convs(pat, "+bat* +c*") == {"c0", "c2"}
+
+
+def test_prohibited_prefix_excludes_any_expansion(pat):
+    assert _convs(pat, "alpha -bat*") == {"c3"}
+
+
+def test_required_multi_token_stem_still_all_required(pat):
+    # "+bat-cave": each literal token its own AND clause
+    assert _convs(pat, "+bat-cave alpha") == {"c0"}
+
+
+def test_required_unmatchable_pattern_empty(pat):
+    assert _convs(pat, "+zzz* alpha") == set()
+
+
+def test_required_fuzzy_clause(pat):
+    # batl~1 -> battle? lev(batl,battle)=2; batl~2 covers bat(1)/batch(2)/battle(2)
+    assert _convs(pat, "+batl~2") == {"c0", "c1", "c2", "c4"}
+    assert _convs(pat, "+batl~1") == {"c0", "c4"}  # only bat (distance 1)
+
+
+def test_optional_pattern_scores_like_plain_prefix(pat):
+    i, _ = pat
+    a = boolean_topk(i, "bat*", k=10).collect()
+    from anisearch_model_spark.query.engine import topk_exhaustive as tke
+    b = tke(i, "bat*", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+        [(r["doc_id"], r["score"]) for r in b]
