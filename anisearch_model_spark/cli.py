@@ -74,9 +74,14 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     ``src/run_server.py:75-93``); this is the dependency-free analog: a
     request per stdin line — either a bare query string or a JSON object
     ``{"query": ..., "k": 10, "page": 1, "role": ..., "exhaustive":
-    false, "phrase": false}`` — one JSON response line each (``phrase``
-    routes to the exact-phrase scorer over the positional side table),
-    ``quit``/``exit``/EOF ends the loop.  Because the IndexStore lives across requests, the LRU
+    false, "phrase": false, "slop": 0, "boolean": false, "snippets":
+    false, "fields": [...], "conversations": false}`` — one JSON
+    response line each (``phrase`` routes to the positional scorer with
+    optional ``slop`` proximity, ``boolean`` parses +/- clause markers,
+    ``snippets`` adds highlighted text windows; the query string itself
+    may carry ``term*`` prefix and ``term~`` fuzzy patterns on any
+    route that scores terms), ``quit``/``exit``/EOF ends the loop.
+    Because the IndexStore lives across requests, the LRU
     (field, term)→df dictionary cache and the negative-term cache
     actually pay off (query/engine.py:48-59), and each request appends a
     query_log evaluation row (the reference's per-query eval record,
