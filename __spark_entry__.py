@@ -1121,6 +1121,167 @@ def bm25_multifield_lang(spark, sf_dir):
     return out.select("rank", "source", "doc_id", "lang", "score")
 
 
+def bm25_facets(spark, sf_dir):
+    """Faceted search (module path: query/facets.py::facet_counts): the
+    lang histogram of the FULL BM25 match set — per facet value, how many
+    matching docs carry it and the best score among them.  Lucene/Solr
+    facet semantics; the reference's per-column result counts
+    (src/api.py:338-349) are the top-k-pool cut of the same idea.  The
+    match set is never truncated: facets describe everything the query
+    matched, not the visible page."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
+    )
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    scored = (
+        tf2.filter(F.col("token").isin(_BM25_QUERY_TERMS))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("score").alias("top_score"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
+
+
+# field weights for the fused multi-field entry (exact binary fractions:
+# w·score products are bit-identical across engines)
+_FUSION_WEIGHTS = {"en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.25}
+
+
+def bm25_fusion_weighted(spark, sf_dir):
+    """Weighted CombSUM rank fusion (module path:
+    query/multifield.py::fuse_weighted / search_fields_fused): each LANG
+    field is scored against its own sub-corpus (as bm25_multifield_lang),
+    then each SOURCE entity gets fused_score = Σ_lang w_lang · best_lang
+    — the BM25F-flavored multi-field relevance the reference's max-only
+    dedup (src/api.py:427-455) cannot express.  Fusion runs through the
+    ACTUAL module function over the complete per-field match sets."""
+    from anisearch_model_spark.query.multifield import (
+        fuse_weighted,
+        rank_and_paginate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    meta = d.select("doc_id", "lang", "source")
+    w_doc = Window.partitionBy("doc_id")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).join(
+        F.broadcast(meta), "doc_id"
+    )
+    w_tok_lang = Window.partitionBy("token", "lang")
+    tf3 = tf2.withColumn("df", F.count("*").over(w_tok_lang))
+    stats = tf2.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    scored = (
+        tf3.filter(F.col("token").isin(_BM25_QUERY_TERMS))
+        .join(F.broadcast(stats), "lang")
+        .withColumn(
+            "idf",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    cands = scored.select(F.col("lang").alias("field"), "doc_id", "score", "source")
+    fused = fuse_weighted(cands, "source", _FUSION_WEIGHTS)
+    out = rank_and_paginate(fused, page=1, results_per_page=10,
+                            score_col="fused_score", id_col="doc_id")
+    return out.select("rank", "source", "doc_id",
+                      F.col("field").alias("lang"), "fused_score")
+
+
+def bm25_more_like_this(spark, sf_dir):
+    """More-like-this (module path: query/mlt.py::more_like_this): the
+    source doc's top-5 terms by tf·idf (rounded tf·idf DESC, token ASC —
+    deterministic across engines) become a disjunctive BM25 query; the
+    source doc is excluded and the top-10 re-ranked.  Lucene MLT
+    semantics from index artifacts alone — the lexical analog of the
+    reference's embedding-cosine similar-items (src/api.py:316-349)."""
+    src_doc = 7
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
+    )
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    with_idf = tf2.crossJoin(F.broadcast(stats)).withColumn(
+        "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    mlt = (
+        with_idf.filter(F.col("doc_id") == src_doc)
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 4))
+        .orderBy(F.desc("tfidf"), F.asc("token"))
+        .limit(5)
+        .select("token")
+    )
+    scored = (
+        with_idf.join(F.broadcast(mlt), "token")
+        .filter(F.col("doc_id") != src_doc)
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-10 documents."""
     return bm25_topk_documents(spark, "/root/testdata/sf0.001")
@@ -1177,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_batch_topk": bm25_batch_topk,
         "bm25_multifield_lang": bm25_multifield_lang,
+        "bm25_facets": bm25_facets,
+        "bm25_fusion_weighted": bm25_fusion_weighted,
+        "bm25_more_like_this": bm25_more_like_this,
         "multimodal_features": multimodal_features,
     }
 
@@ -2009,6 +2173,114 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_facets": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 4) AS score
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.doc_id)
+            SELECT d.lang, count(*)::bigint AS n_docs,
+                   max(score)::double AS top_score
+            FROM scored JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n_docs DESC, d.lang ASC
+        """,
+        "bm25_fusion_weighted": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            tf2 AS (
+              SELECT tf.*, d.lang, d.source,
+                     sum(tf) OVER (PARTITION BY tf.doc_id) AS dl
+              FROM tf JOIN documents d USING (doc_id)),
+            tf3 AS (
+              SELECT *, count(*) OVER (PARTITION BY token, lang) AS df
+              FROM tf2),
+            stats AS (
+              SELECT lang, count(DISTINCT doc_id) AS n_docs,
+                     sum(tf) / count(DISTINCT doc_id) AS avgdl
+              FROM tf2 GROUP BY lang),
+            scored AS (
+              SELECT doc_id, tf3.lang, source,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 4)
+                       AS score
+              FROM tf3 JOIN stats ON tf3.lang = stats.lang
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY doc_id, tf3.lang, source),
+            wts(lang, w) AS (
+              VALUES ('en', 1.0), ('fr', 0.5), ('es', 0.5),
+                     ('de', 0.25), ('zh', 0.25)),
+            best AS (
+              SELECT source, lang, doc_id, score, w FROM (
+                SELECT s.*, w.w, row_number() OVER (
+                  PARTITION BY s.source, s.lang
+                  ORDER BY s.score DESC, s.doc_id ASC) rn
+                FROM scored s JOIN wts w USING (lang)) WHERE rn = 1),
+            fused AS (
+              -- ordered aggregate: float64 fold in ascending lang order,
+              -- matching the engine's sorted-array fold exactly
+              SELECT source, round(sum(w * score ORDER BY lang), 4) AS fused_score
+              FROM best GROUP BY source),
+            rep AS (
+              SELECT source, doc_id, lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY w * score DESC, lang ASC, doc_id ASC) rn2
+                FROM best) WHERE rn2 = 1)
+            SELECT row_number() OVER (ORDER BY fused_score DESC, doc_id ASC)::bigint
+                     AS rank,
+                   f.source, doc_id, lang, fused_score::double AS fused_score
+            FROM fused f JOIN rep USING (source)
+            ORDER BY rank LIMIT 10
+        """,
+        "bm25_more_like_this": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            widf AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats),
+            mlt AS (
+              SELECT token FROM widf WHERE doc_id = 7
+              ORDER BY round(tf * idf, 4) DESC, token ASC LIMIT 5),
+            scored AS (
+              SELECT w.doc_id,
+                     round(sum(w.idf * w.tf * ({_K1} + 1)
+                         / (w.tf + {_K1} * (1 - {_B} + {_B} * w.dl / w.avgdl))), 4)
+                       AS score
+              FROM widf w JOIN mlt USING (token)
+              WHERE w.doc_id <> 7
+              GROUP BY w.doc_id)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, score::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
         "bm25_topk_live_docs": f"""

@@ -513,20 +513,24 @@ def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],
     ).mapInPandas(decode, schema="doc_id long, term string, pscore double")
 
 
-def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
-                    params: BM25Params | None = None,
-                    field: str | None = None) -> DataFrame:
-    """Exact top-k, bit-identical to the oracle: (rank, doc_id, score).
+def score_matches(index: IndexStore, query_text: str,
+                  params: BM25Params | None = None,
+                  field: str | None = None) -> DataFrame:
+    """Exhaustive (doc_id, score) for EVERY live doc matching ≥1 query
+    term — the full match set, no top-k cut.
 
-    ``field`` restricts scoring to one field's sub-corpus (per-field
-    df/n/avgdl; the postings scan prunes on the field partition)."""
+    This is the candidate-generation primitive under ``topk_exhaustive``
+    and the exact-semantics consumers that must see the whole match set
+    before any truncation: facet counting (``query/facets.py``) and
+    weighted rank fusion (``query/multifield.py::search_fields_fused``).
+    Cost scales with query-term posting volume, never corpus size: the
+    postings scan term-IN-prunes (and field-partition-prunes), and the
+    one shuffle is the per-doc partial fold on doc_id."""
     params = params or BM25Params()
     spark = index.spark
     idf = resolve_query_idf(index, query_text, field=field)
-    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
-        return empty
-
+        return spark.createDataFrame([], "doc_id long, score double")
     partials = _partials(index, sorted(idf), idf, params, field=field)
     # fold per doc in ascending term order — fixed float64 summation order
     scored = (
@@ -543,6 +547,17 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
     if len(tomb):
         tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
         scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
+    return scored
+
+
+def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
+                    params: BM25Params | None = None,
+                    field: str | None = None) -> DataFrame:
+    """Exact top-k, bit-identical to the oracle: (rank, doc_id, score).
+
+    ``field`` restricts scoring to one field's sub-corpus (per-field
+    df/n/avgdl; the postings scan prunes on the field partition)."""
+    scored = score_matches(index, query_text, params, field=field)
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.partitionBy(constant_partition("doc_id")).orderBy(
         F.desc("score"), F.asc("doc_id")

@@ -187,3 +187,99 @@ def search_conversations(index, query_text: str, k: int = 10, page: int = 1,
     return rank_and_paginate(best.drop("rank"), page, k, "score", "doc_id").select(
         "rank", "conv_id", "doc_id", "turn_idx", "role", "score"
     )
+
+
+def fuse_weighted(cands: DataFrame, key_col: str, weights: dict[str, float],
+                  score_col: str = "score", field_col: str = "field",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Weighted CombSUM rank fusion (the BM25F-flavored generalization of
+    T3): one row per key with ``fused_score = Σ_f w_f · best_f(key)``,
+    where ``best_f`` is the key's best per-field score.
+
+    ``dedup_best`` keeps the single best field hit (the reference's
+    first-seen-wins dedup, src/api.py:427-455); fusion instead rewards
+    entities that match in SEVERAL fields — the standard multi-field
+    relevance model (BM25F / CombSUM) that a max-only dedup cannot
+    express.  Fields absent from ``weights`` are dropped.  The
+    representative ``(doc_id, field)`` carried on each fused row is the
+    largest weighted contribution, tie-broken (field ASC, id ASC).
+
+    Shape: two windows over the candidate relation partitioned by
+    (key, field) then key — both partial-aggregable, no driver
+    materialization; output is |keys| rows.
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w_kf = Window.partitionBy(key_col, field_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    best = (
+        cands.withColumn("_w", wmap[F.col(field_col)])
+        .filter(F.col("_w").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_kf))
+        .filter(F.col("_rn") == 1)
+        .withColumn("wscore", F.col("_w") * F.col(score_col))
+    )
+    # fused sum folds in ASCENDING FIELD order (sorted-array aggregate),
+    # never a bare sum(): float64 addition is order-sensitive, and an
+    # unordered window sum is partition-order-dependent — round(·, 4) at
+    # a boundary then flips between runs (same fix as the engine's
+    # per-doc partial fold, query/engine.py::score_matches)
+    fused = best.groupBy(key_col).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(field_col, "wscore"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["wscore"],
+            ),
+            4,
+        ).alias("fused_score")
+    )
+    w_key = Window.partitionBy(key_col).orderBy(
+        F.desc("wscore"), F.asc(field_col), F.asc(id_col)
+    )
+    rep = (
+        best.withColumn("_rep", F.row_number().over(w_key))
+        .filter(F.col("_rep") == 1)
+        .select(key_col, id_col, field_col)
+    )
+    return rep.join(fused, key_col).select(
+        key_col, id_col, field_col, "fused_score"
+    )
+
+
+def search_fields_fused(index, query_text: str, weights: dict[str, float],
+                        k: int = 10, page: int = 1) -> DataFrame:
+    """Multi-field search under weighted CombSUM fusion: score each
+    weighted field's FULL match set against its own sub-corpus, fuse per
+    conversation with ``fuse_weighted``, rank, paginate.
+
+    Exact by construction: fusion sums across fields, so an entity just
+    below every per-field top-k can still win the fused ranking —
+    candidate generation therefore takes the complete per-field match
+    sets (``score_matches``; cost = query-term posting volume per field,
+    each scan partition-pruned to its field), not truncated pools.  The
+    conv_id resolution is a doc_id equi-join against the doc_map
+    (co-bucketed by doc range with the postings, same note as
+    query/facets.py), and the final ranking is limit-first
+    (TakeOrderedAndProject) via ``rank_and_paginate``.
+
+    Returns (rank, conv_id, doc_id, field, fused_score).
+    """
+    from functools import reduce
+
+    from anisearch_model_spark.query.engine import IndexStore, score_matches
+
+    assert isinstance(index, IndexStore) and weights
+    per_field = [
+        score_matches(index, query_text, field=f).select(
+            F.lit(f).alias("field"), "doc_id", "score"
+        )
+        for f in sorted(weights)
+    ]
+    all_matches = reduce(lambda a, b: a.unionByName(b), per_field)
+    meta = index.doc_map.select("doc_id", "conv_id")
+    cands = all_matches.join(meta, "doc_id")
+    fused = fuse_weighted(cands, "conv_id", weights)
+    return rank_and_paginate(
+        fused, page, k, "fused_score", "doc_id"
+    ).select("rank", "conv_id", "doc_id", "field", "fused_score")

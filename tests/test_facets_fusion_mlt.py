@@ -1,0 +1,218 @@
+"""Round-5 search-surface additions, each proved against the single-node
+oracle (the same parity discipline as the ranked paths):
+
+  * facet_counts — facet histogram over the FULL match set;
+  * fuse_weighted / search_fields_fused — weighted CombSUM fusion
+    (BM25F-flavored multi-field relevance, vs dedup_best's max-only);
+  * more_like_this — tf·idf term extraction → BM25 similarity query.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anisearch_model_spark.query.engine import IndexStore, topk_exhaustive
+from anisearch_model_spark.query.facets import facet_counts
+from anisearch_model_spark.query.mlt import mlt_terms, more_like_this
+from anisearch_model_spark.query.multifield import (
+    fuse_weighted,
+    search_fields_fused,
+)
+from anisearch_model_spark.query.oracle import OracleIndex
+
+Q = "hero battle magic world"
+
+
+@pytest.fixture(scope="module")
+def index(spark, index_dir):
+    return IndexStore(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def doc_meta(index):
+    return (
+        index.doc_map.select("doc_id", "conv_id", "role", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(doc_meta):
+    return OracleIndex(doc_meta[["doc_id", "text"]])
+
+
+# ---------------------------------------------------------------- facets
+
+def test_facet_counts_match_oracle_full_match_set(index, oracle, doc_meta):
+    got = facet_counts(index, Q, facet_col="role").toPandas()
+    scored = oracle.score(Q).merge(
+        doc_meta[["doc_id", "role"]], on="doc_id"
+    )
+    expect = (
+        scored.groupby("role")
+        .agg(n_docs=("doc_id", "size"), top_score=("score", "max"))
+        .reset_index()
+        .rename(columns={"role": "facet"})
+        .sort_values(["n_docs", "facet"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert got["facet"].tolist() == expect["facet"].tolist()
+    assert got["n_docs"].tolist() == expect["n_docs"].tolist()
+    # same summation kernel + fold order → bit-identical maxima
+    np.testing.assert_array_equal(
+        got["top_score"].to_numpy(), expect["top_score"].to_numpy()
+    )
+    # the match set must be larger than any top-k page (facets are not
+    # a histogram of the visible page)
+    assert int(got["n_docs"].sum()) > 10
+
+
+def test_facet_counts_empty_query(index):
+    assert facet_counts(index, "zzznosuchterm", facet_col="role").count() == 0
+
+
+# ---------------------------------------------------------------- fusion
+
+def test_fuse_weighted_hand_computed(spark):
+    rows = [
+        # conv A: best title=2.0, best body=1.0  → 1.0*2.0 + 0.5*1.0 = 2.5
+        ("A", 1, "title", 2.0), ("A", 2, "title", 1.5), ("A", 3, "body", 1.0),
+        # conv B: title only                     → 1.0*3.0 = 3.0
+        ("B", 4, "title", 3.0),
+        # conv C: body only + unweighted field   → 0.5*4.0 = 2.0
+        ("C", 5, "body", 4.0), ("C", 6, "footer", 9.0),
+    ]
+    cands = spark.createDataFrame(
+        rows, "conv_id string, doc_id long, field string, score double"
+    )
+    got = (
+        fuse_weighted(cands, "conv_id", {"title": 1.0, "body": 0.5})
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == ["A", "B", "C"]
+    assert got["fused_score"].tolist() == [2.5, 3.0, 2.0]
+    # representative = largest weighted contribution
+    assert got["doc_id"].tolist() == [1, 4, 5]
+    assert got["field"].tolist() == ["title", "title", "body"]
+
+
+@pytest.fixture(scope="module")
+def field_index(spark, tmp_path_factory):
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+
+    d = str(tmp_path_factory.mktemp("fusedidx") / "main")
+    tr = gen_transcripts(spark, 3000, seed=42)
+    build_index(spark, tr, d, num_buckets=6, field_col="role")
+    return IndexStore(spark, d)
+
+
+def test_search_fields_fused_matches_oracle(field_index):
+    weights = {"user": 1.0, "assistant": 0.5}
+    meta = (
+        field_index.doc_map.select("doc_id", "conv_id", "role", "text")
+        .toPandas()
+    )
+    # oracle: per-role sub-corpus scoring → best per (conv, role) →
+    # weighted sum → (fused DESC, doc ASC) top-10
+    frames = []
+    for role, w in weights.items():
+        sub = meta[meta["role"] == role]
+        scored = OracleIndex(
+            sub[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+        ).score(Q)
+        scored = scored.merge(sub[["doc_id", "conv_id"]], on="doc_id")
+        scored["field"] = role
+        scored["wscore"] = w * scored["score"]
+        frames.append(scored)
+    allm = pd.concat(frames, ignore_index=True)
+    best = (
+        allm.sort_values(["conv_id", "field", "score", "doc_id"],
+                         ascending=[True, True, False, True])
+        .groupby(["conv_id", "field"], as_index=False).first()
+    )
+    fused = best.groupby("conv_id", as_index=False).agg(
+        fused_score=("wscore", "sum")
+    )
+    fused["fused_score"] = fused["fused_score"].round(4)
+    rep = best.sort_values(
+        ["conv_id", "wscore", "field", "doc_id"],
+        ascending=[True, False, True, True],
+    ).groupby("conv_id", as_index=False).first()
+    expect = fused.merge(rep[["conv_id", "doc_id", "field"]], on="conv_id")
+    expect = expect.sort_values(
+        ["fused_score", "doc_id"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+
+    got = search_fields_fused(field_index, Q, weights, k=10).toPandas()
+    assert got["conv_id"].tolist() == expect["conv_id"].tolist()
+    assert got["fused_score"].tolist() == expect["fused_score"].tolist()
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # fusion genuinely differs from max-only dedup: some fused score must
+    # exceed its best single-field contribution (i.e. a multi-field conv)
+    joined = got.merge(
+        best.groupby("conv_id", as_index=False).agg(nf=("field", "nunique")),
+        on="conv_id",
+    )
+    assert (joined["nf"] > 1).any()
+
+
+# ----------------------------------------------------------------- MLT
+
+def test_mlt_terms_deterministic_topm(index, oracle):
+    doc = int(oracle.postings["doc_id"].iloc[0])
+    terms = mlt_terms(index, doc, m=5)
+    assert terms == mlt_terms(index, doc, m=5)
+    assert 0 < len(terms) <= 5
+    # expected from the oracle's own tf/df tables
+    sub = oracle.postings[oracle.postings["doc_id"] == doc]
+    idf = {
+        t: float(np.log(1 + (oracle.n_docs - oracle.df[t] + 0.5)
+                        / (oracle.df[t] + 0.5)))
+        for t in sub["term"]
+    }
+    exp = sorted(
+        ((-(r.tf * idf[r.term]), r.term) for r in sub.itertuples()),
+    )[:5]
+    assert terms == [t for _, t in exp]
+
+
+def test_more_like_this_excludes_source_and_ranks(index, oracle):
+    doc = int(oracle.postings["doc_id"].iloc[0])
+    got = more_like_this(index, doc, m=5, k=10).toPandas()
+    assert doc not in got["doc_id"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    assert len(got) == 10
+    # rank-identical to the oracle scoring the same extracted terms
+    q = " ".join(mlt_terms(index, doc, m=5))
+    exp = oracle.score(q)
+    exp = exp[exp["doc_id"] != doc].sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(10)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(), exp["score"].to_numpy()
+    )
+    # pruned and exhaustive agree
+    got_ex = more_like_this(index, doc, m=5, k=10, pruned=False).toPandas()
+    assert got["doc_id"].tolist() == got_ex["doc_id"].tolist()
+
+
+def test_mlt_unknown_and_deleted_doc(spark, tmp_path_factory):
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.index.tombstones import delete_docs
+
+    d = str(tmp_path_factory.mktemp("mltidx") / "main")
+    tr = gen_transcripts(spark, 300, seed=7)
+    build_index(spark, tr, d, num_buckets=2)
+    idx = IndexStore(spark, d)
+    with pytest.raises(ValueError, match="not found"):
+        mlt_terms(idx, 10_000_000)
+    delete_docs(spark, d, [0])
+    with pytest.raises(ValueError, match="deleted"):
+        mlt_terms(idx, 0)
