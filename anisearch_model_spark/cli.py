@@ -75,8 +75,13 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     request per stdin line — either a bare query string or a JSON object
     ``{"query": ..., "k": 10, "page": 1, "role": ..., "exhaustive":
     false, "phrase": false, "slop": 0, "boolean": false, "snippets":
-    false, "fields": [...], "conversations": false}`` — one JSON
-    response line each (``phrase`` routes to the positional scorer with
+    false, "fields": [...], "conversations": false, "facets": "role",
+    "mlt": <doc_id>, "m": 5, "fused_fields": {"user": 1.0}}`` — one JSON
+    response line each (``facets`` histograms the full match set over a
+    doc_map column, ``mlt`` runs more-like-this from a source doc id —
+    no ``query`` key needed, ``fused_fields`` scores conversations by
+    weighted CombSUM over per-field bests; ``phrase`` routes to the
+    positional scorer with
     optional ``slop`` proximity, ``boolean`` parses +/- clause markers,
     ``snippets`` adds highlighted text windows; the query string itself
     may carry ``term*`` prefix and ``term~`` fuzzy patterns on any
@@ -105,9 +110,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         served += 1
         try:
             req = json.loads(line) if line.startswith("{") else {"query": line}
-            if not isinstance(req, dict) or "query" not in req:
+            if not isinstance(req, dict) or (
+                "query" not in req and "mlt" not in req
+            ):
                 raise ValueError("request must be a query string or a "
-                                 "JSON object with a 'query' key")
+                                 "JSON object with a 'query' (or 'mlt' "
+                                 "doc id) key")
             # admission covers parameter coercion too: {"k": "abc"} must
             # come back as an error response, never kill the loop
             k = int(req.get("k", 10))
@@ -134,6 +142,39 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                              or req.get("conversations")):
                 raise ValueError("'snippets' applies to plain term "
                                  "queries only")
+            facets = req.get("facets")
+            if facets is not None and not isinstance(facets, str):
+                raise ValueError("'facets' must be a doc_map column name "
+                                 "(e.g. 'role')")
+            mlt = req.get("mlt")
+            if mlt is not None:
+                mlt = int(mlt)
+            fused = req.get("fused_fields")
+            if fused is not None:
+                if isinstance(fused, str):
+                    # "user:1.0,assistant:0.5" shorthand
+                    fused = dict(
+                        (p.split(":", 1)[0].strip(),
+                         float(p.split(":", 1)[1]))
+                        for p in fused.split(",") if p.strip()
+                    )
+                elif isinstance(fused, dict):
+                    fused = {str(f): float(w) for f, w in fused.items()}
+                else:
+                    raise ValueError("'fused_fields' must be a "
+                                     "{field: weight} object or a "
+                                     "'field:w,field:w' string")
+                if not fused:
+                    raise ValueError("'fused_fields' must name at least "
+                                     "one field")
+            exclusive = [n for n, on in [("phrase", phrase),
+                                         ("boolean", boolean),
+                                         ("facets", facets is not None),
+                                         ("mlt", mlt is not None),
+                                         ("fused_fields", fused is not None)]
+                         if on]
+            if len(exclusive) > 1:
+                raise ValueError(f"mutually exclusive routes: {exclusive}")
         except (json.JSONDecodeError, ValueError, TypeError) as e:
             out_stream.write(json.dumps({"error": str(e)}) + "\n")
             out_stream.flush()
@@ -141,6 +182,23 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         t0 = time.time()
 
         def _run():
+            if mlt is not None:
+                from anisearch_model_spark.query.mlt import more_like_this
+
+                return more_like_this(idx, mlt, m=int(req.get("m", 5)),
+                                      k=k, field=role,
+                                      pruned=pruned).collect()
+            if facets is not None:
+                from anisearch_model_spark.query.facets import facet_counts
+
+                return facet_counts(idx, req["query"], facet_col=facets,
+                                    field=role).collect()
+            if fused is not None:
+                from anisearch_model_spark.query.multifield import (
+                    search_fields_fused)
+
+                return search_fields_fused(idx, req["query"], fused,
+                                           k=k, page=page).collect()
             if phrase:
                 from anisearch_model_spark.query.phrase import phrase_search
 
@@ -197,22 +255,28 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             try:
                 log_query(
                     spark, index_dir,
-                    ts=dt.datetime.now(), query_text=req["query"], k=k,
+                    ts=dt.datetime.now(),
+                    query_text=req.get("query", f"mlt:{mlt}"), k=k,
                     page=page, field=role,
-                    scorer="phrase" if phrase else
-                           ("boolean" if boolean else
-                            ("bmw" if pruned else "exhaustive")),
+                    scorer="mlt" if mlt is not None else
+                           ("facets" if facets is not None else
+                            ("fused" if fused is not None else
+                             ("phrase" if phrase else
+                              ("boolean" if boolean else
+                               ("bmw" if pruned else "exhaustive"))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
-                        if rows and "rank" in rows[0].asDict() else []),
+                        if rows and {"rank", "doc_id", "score"}
+                        <= set(rows[0].asDict()) else []),
                     wall_ms=wall_ms,
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"warning: query_log append failed: {e}",
                       file=sys.stderr)
         out_stream.write(json.dumps(
-            {"query": req["query"], "wall_ms": round(wall_ms, 3),
+            {"query": req.get("query", f"mlt:{mlt}"),
+             "wall_ms": round(wall_ms, 3),
              "results": [r.asDict() for r in rows]}, default=str) + "\n")
         out_stream.flush()
     return served
@@ -274,10 +338,30 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default=None,
                    help="comma-separated fields: per-field scoring + "
                         "conv-level merge (reference multi-column search)")
+    s.add_argument("--facets", default=None, metavar="COL",
+                   help="instead of ranked results, print the facet "
+                        "histogram of the FULL match set over this "
+                        "doc_map column (e.g. role)")
+    s.add_argument("--fused-fields", default=None, metavar="F:W,F:W",
+                   help="weighted CombSUM fusion: score conversations as "
+                        "the weighted sum of per-field best BM25 hits "
+                        "(e.g. user:1.0,assistant:0.5)")
     s.add_argument("--log", action="store_true",
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
                         "pure read and works on read-only index mounts)")
+
+    m = sub.add_parser("mlt", help="more-like-this: top tf-idf terms of a "
+                                   "source doc become a BM25 similarity "
+                                   "query; the source is excluded")
+    m.add_argument("--index", required=True)
+    m.add_argument("--doc-id", type=int, required=True)
+    m.add_argument("--m", type=int, default=5,
+                   help="number of extracted query terms")
+    m.add_argument("--k", type=int, default=10)
+    m.add_argument("--role", default=None,
+                   help="scope to one field of a field-qualified index")
+    m.add_argument("--exhaustive", action="store_true")
 
     v = sub.add_parser("serve", help="long-lived query loop: one Spark "
                                      "session + one IndexStore (hot LRU "
@@ -377,7 +461,22 @@ def main(argv: list[str] | None = None) -> int:
             import time
 
             t0 = time.time()
-            if args.phrase:
+            if args.facets:
+                from anisearch_model_spark.query.facets import facet_counts
+
+                out = facet_counts(idx, args.query, facet_col=args.facets,
+                                   field=args.role)
+            elif args.fused_fields:
+                from anisearch_model_spark.query.multifield import (
+                    search_fields_fused)
+
+                weights = dict(
+                    (p.split(":", 1)[0].strip(), float(p.split(":", 1)[1]))
+                    for p in args.fused_fields.split(",") if p.strip()
+                )
+                out = search_fields_fused(idx, args.query, weights,
+                                          k=args.k, page=args.page)
+            elif args.phrase:
                 from anisearch_model_spark.query.phrase import phrase_search
 
                 out = phrase_search(idx, args.query, k=args.k,
@@ -419,13 +518,16 @@ def main(argv: list[str] | None = None) -> int:
                         spark, args.index,
                         ts=dt.datetime.now(), query_text=args.query, k=args.k,
                         page=args.page, field=args.role,
-                        scorer="phrase" if args.phrase else
-                               ("boolean" if args.boolean else
-                                ("bmw" if pruned else "exhaustive")),
+                        scorer="facets" if args.facets else
+                               ("fused" if args.fused_fields else
+                                ("phrase" if args.phrase else
+                                 ("boolean" if args.boolean else
+                                  ("bmw" if pruned else "exhaustive")))),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]
-                            if rows and "rank" in rows[0].asDict() else []
+                            if rows and {"rank", "doc_id", "score"}
+                            <= set(rows[0].asDict()) else []
                         ),
                         wall_ms=wall_ms,
                     )
@@ -433,6 +535,16 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"warning: query_log append failed: {e}",
                           file=sys.stderr)
             for row in rows:
+                print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "mlt":
+            from anisearch_model_spark.query.engine import IndexStore
+            from anisearch_model_spark.query.mlt import more_like_this
+
+            idx = IndexStore(spark, args.index)
+            out = more_like_this(idx, args.doc_id, m=args.m, k=args.k,
+                                 field=args.role,
+                                 pruned=not args.exhaustive)
+            for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "serve":
             n = serve_loop(spark, args.index, sys.stdin, sys.stdout,

@@ -216,3 +216,75 @@ def test_mlt_unknown_and_deleted_doc(spark, tmp_path_factory):
     delete_docs(spark, d, [0])
     with pytest.raises(ValueError, match="deleted"):
         mlt_terms(idx, 0)
+
+
+# ------------------------------------------------------- serve/CLI wiring
+
+def test_serve_loop_facets_mlt_fused_routes(spark, index_dir, field_index):
+    """The three round-5 surfaces through serve mode: results match the
+    direct module calls; route conflicts and bad params are per-request
+    admission errors, never loop killers."""
+    import io
+    import json as _json
+
+    from anisearch_model_spark.cli import serve_loop
+
+    reqs = [
+        _json.dumps({"query": Q, "facets": "role"}),
+        _json.dumps({"mlt": 3, "k": 5}),
+        _json.dumps({"query": "hero", "facets": "role", "mlt": 3}),  # conflict
+        _json.dumps({"mlt": "abc"}),                                 # bad int
+        _json.dumps({"query": "hero", "fused_fields": []}),          # bad type
+        "quit",
+    ]
+    out = io.StringIO()
+    served = serve_loop(spark, index_dir, io.StringIO("\n".join(reqs)),
+                        out, log=False)
+    assert served == 5
+    lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
+    idx = IndexStore(spark, index_dir)
+    want_facets = [r.asDict() for r in
+                   facet_counts(idx, Q, facet_col="role").collect()]
+    assert lines[0]["results"] == want_facets
+    want_mlt = [r.asDict() for r in
+                more_like_this(idx, 3, k=5).collect()]
+    assert lines[1]["results"] == want_mlt
+    assert "error" in lines[2] and "exclusive" in lines[2]["error"]
+    assert "error" in lines[3]
+    assert "error" in lines[4] and "fused_fields" in lines[4]["error"]
+
+    # fused route needs the field-qualified index; dict and string
+    # weight forms must agree
+    weights = {"user": 1.0, "assistant": 0.5}
+    reqs2 = [
+        _json.dumps({"query": Q, "fused_fields": weights, "k": 5}),
+        _json.dumps({"query": Q, "fused_fields": "user:1.0,assistant:0.5",
+                     "k": 5}),
+        "quit",
+    ]
+    out2 = io.StringIO()
+    serve_loop(spark, field_index.index_dir,
+               io.StringIO("\n".join(reqs2)), out2, log=False)
+    l2 = [_json.loads(x) for x in out2.getvalue().strip().splitlines()]
+    want_fused = [r.asDict() for r in
+                  search_fields_fused(field_index, Q, weights, k=5).collect()]
+    got_dict = l2[0]["results"]
+    got_str = l2[1]["results"]
+    assert got_dict == got_str
+    assert [r["conv_id"] for r in got_dict] == \
+        [str(r["conv_id"]) for r in want_fused]
+
+
+def test_cli_mlt_subcommand(spark, index_dir, capsys):
+    import json as _json
+
+    from anisearch_model_spark import cli
+
+    rc = cli.main(["mlt", "--index", index_dir, "--doc-id", "3", "--k", "5"])
+    assert rc == 0
+    rows = [_json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    want = [r.asDict() for r in more_like_this(
+        IndexStore(spark, index_dir), 3, k=5).collect()]
+    assert [(r["rank"], r["doc_id"]) for r in rows] == \
+        [(w["rank"], w["doc_id"]) for w in want]
