@@ -168,3 +168,43 @@ def test_tombstone_antijoin_broadcasts(spark, index_dir, tmp_path):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert not uses_sort_merge_join(q)
+
+
+def test_facet_counts_plan_pushes_terms_and_prunes_columns(spark, index_dir):
+    """facet_counts must inherit the scorer's term-IN postings pushdown
+    (cost = query-term posting volume, not corpus size) and its doc_map
+    scan must prune to (doc_id, facet col) — facets never read text."""
+    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.facets import facet_counts
+    from anisearch_model_spark.plans.inspect import (
+        formatted_plan, read_schema_columns)
+
+    idx = IndexStore(spark, index_dir)
+    df = facet_counts(idx, "hero battle", facet_col="role")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "term" in plan
+    doc_map_schemas = [
+        cols for cols in read_schema_columns(df) if "role" in cols
+    ]
+    assert doc_map_schemas and all(
+        "text" not in cols for cols in doc_map_schemas
+    ), f"doc_map scan reads more than it needs: {doc_map_schemas}"
+
+
+def test_fused_search_prunes_field_partitions(spark):
+    """search_fields_fused scores each weighted field against ITS OWN
+    partition directories — the postings scan must carry a field
+    PartitionFilter, never read unweighted fields."""
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, score_matches
+    from anisearch_model_spark.plans.inspect import has_partition_filter
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fuseplan") + "/idx"
+    tr = gen_transcripts(spark, 600, seed=11)
+    build_index(spark, tr, d, num_buckets=2, field_col="role")
+    idx = IndexStore(spark, d)
+    scored = score_matches(idx, "hero battle", field="user")
+    assert has_partition_filter(scored, "field")
