@@ -142,6 +142,19 @@ def main() -> None:
         _noop_write(phrase_topk(idx, q, 10))
     timings["phrase_query_x3"] = round(time.time() - t0, 3)
 
+    # round-5 query surfaces: facet histogram of the full match set,
+    # more-like-this (doc probe + dictionary lookup + BM25 fan-out)
+    from anisearch_model_spark.query.facets import facet_counts
+    from anisearch_model_spark.query.mlt import more_like_this
+
+    t0 = time.time()
+    _noop_write(facet_counts(idx, "hero battle magic world", facet_col="role"))
+    timings["facets_query"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for did in (7, n_turns // 3, (2 * n_turns) // 3):
+        _noop_write(more_like_this(idx, did, m=5, k=10))
+    timings["mlt_query_x3"] = round(time.time() - t0, 3)
+
     # batch query-set evaluation: 20 queries, ONE distributed job
     import pandas as pd
 
