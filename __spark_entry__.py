@@ -1282,6 +1282,38 @@ def bm25_more_like_this(spark, sf_dir):
     )
 
 
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (module path:
+    operators/sampling.py::stratified_sample): exactly 20 docs per lang
+    chosen by ascending md5(seed:doc_id) — reproducible at any
+    parallelism, map-side partial top-n bounds the shuffle.  Replaces
+    the reference's driver-side pandas .sample(random_state=...)."""
+    from anisearch_model_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", 20, "doc_id", seed=42)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def mix_token_budget(spark, sf_dir):
+    """Token-budget data mixing (module path:
+    operators/sampling.py::token_budget_mix): per lang, keep docs in
+    (n_chars DESC, doc_id ASC) priority order while the group's
+    cumulative n_chars stays ≤ 50000 — the greedy-prefix mixture rule of
+    pretraining curricula."""
+    from anisearch_model_spark.operators.sampling import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        token_budget_mix(d, "lang", "n_chars", 50_000, "n_chars", "doc_id")
+        .select("lang", "doc_id", "n_chars", "cum_weight")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-10 documents."""
     return bm25_topk_documents(spark, "/root/testdata/sf0.001")
@@ -1341,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facets": bm25_facets,
         "bm25_fusion_weighted": bm25_fusion_weighted,
         "bm25_more_like_this": bm25_more_like_this,
+        "sample_stratified": sample_stratified,
+        "mix_token_budget": mix_token_budget,
         "multimodal_features": multimodal_features,
     }
 
@@ -2282,6 +2316,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::bigint AS rank,
                    doc_id, score::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "sample_stratified": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     md5('42:' || doc_id::varchar) AS _h
+              FROM documents),
+            p AS (
+              SELECT lang, doc_id FROM (
+                SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang ORDER BY _h ASC, doc_id ASC) rn
+                FROM h) WHERE rn <= 20)
+            SELECT lang, doc_id FROM p ORDER BY lang, doc_id
+        """,
+        "mix_token_budget": """
+            WITH c AS (
+              SELECT lang, doc_id, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_weight
+              FROM documents)
+            SELECT lang, doc_id, n_chars, cum_weight
+            FROM c WHERE cum_weight <= 50000
+            ORDER BY lang, doc_id
         """,
         "bm25_topk_live_docs": f"""
             WITH toks AS (
