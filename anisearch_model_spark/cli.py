@@ -112,10 +112,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             req = json.loads(line) if line.startswith("{") else {"query": line}
             if not isinstance(req, dict) or (
                 "query" not in req and "mlt" not in req
+                and "suggest" not in req
             ):
                 raise ValueError("request must be a query string or a "
                                  "JSON object with a 'query' (or 'mlt' "
-                                 "doc id) key")
+                                 "doc id / 'suggest' prefix) key")
             # admission covers parameter coercion too: {"k": "abc"} must
             # come back as an error response, never kill the loop
             k = int(req.get("k", 10))
@@ -149,6 +150,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             mlt = req.get("mlt")
             if mlt is not None:
                 mlt = int(mlt)
+            suggest = req.get("suggest")
+            if suggest is not None and (
+                not isinstance(suggest, str) or not suggest.strip()
+            ):
+                raise ValueError("'suggest' must be a non-empty prefix "
+                                 "string")
             fused = req.get("fused_fields")
             if fused is not None:
                 if isinstance(fused, str):
@@ -171,6 +178,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("boolean", boolean),
                                          ("facets", facets is not None),
                                          ("mlt", mlt is not None),
+                                         ("suggest", suggest is not None),
                                          ("fused_fields", fused is not None)]
                          if on]
             if len(exclusive) > 1:
@@ -182,6 +190,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         t0 = time.time()
 
         def _run():
+            if suggest is not None:
+                from anisearch_model_spark.query.engine import suggest_terms
+
+                return [{"term": t, "df": df} for t, df in
+                        suggest_terms(idx, suggest, n=k, field=role)]
             if mlt is not None:
                 from anisearch_model_spark.query.mlt import more_like_this
 
@@ -256,18 +269,23 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 log_query(
                     spark, index_dir,
                     ts=dt.datetime.now(),
-                    query_text=req.get("query", f"mlt:{mlt}"), k=k,
+                    query_text=req.get(
+                        "query",
+                        f"suggest:{suggest}" if suggest is not None
+                        else f"mlt:{mlt}"), k=k,
                     page=page, field=role,
-                    scorer="mlt" if mlt is not None else
-                           ("facets" if facets is not None else
-                            ("fused" if fused is not None else
-                             ("phrase" if phrase else
-                              ("boolean" if boolean else
-                               ("bmw" if pruned else "exhaustive"))))),
+                    scorer="suggest" if suggest is not None else
+                           ("mlt" if mlt is not None else
+                            ("facets" if facets is not None else
+                             ("fused" if fused is not None else
+                              ("phrase" if phrase else
+                               ("boolean" if boolean else
+                                ("bmw" if pruned else "exhaustive")))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
-                        if rows and {"rank", "doc_id", "score"}
+                        if rows and hasattr(rows[0], "asDict")
+                        and {"rank", "doc_id", "score"}
                         <= set(rows[0].asDict()) else []),
                     wall_ms=wall_ms,
                 )
@@ -275,9 +293,13 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 print(f"warning: query_log append failed: {e}",
                       file=sys.stderr)
         out_stream.write(json.dumps(
-            {"query": req.get("query", f"mlt:{mlt}"),
+            {"query": req.get(
+                "query",
+                f"suggest:{suggest}" if suggest is not None
+                else f"mlt:{mlt}"),
              "wall_ms": round(wall_ms, 3),
-             "results": [r.asDict() for r in rows]}, default=str) + "\n")
+             "results": [r.asDict() if hasattr(r, "asDict") else r
+                         for r in rows]}, default=str) + "\n")
         out_stream.flush()
     return served
 
@@ -350,6 +372,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
                         "pure read and works on read-only index mounts)")
+
+    g2 = sub.add_parser("suggest", help="type-ahead term suggestion: "
+                                        "highest-df dictionary terms under "
+                                        "a prefix (bounded pushed-prefix "
+                                        "scan, never a vocabulary load)")
+    g2.add_argument("--index", required=True)
+    g2.add_argument("--prefix", required=True)
+    g2.add_argument("--n", type=int, default=10)
+    g2.add_argument("--role", default=None)
 
     m = sub.add_parser("mlt", help="more-like-this: top tf-idf terms of a "
                                    "source doc become a BM25 similarity "
@@ -536,6 +567,14 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
             for row in rows:
                 print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "suggest":
+            from anisearch_model_spark.query.engine import (
+                IndexStore, suggest_terms)
+
+            idx = IndexStore(spark, args.index)
+            for term, df in suggest_terms(idx, args.prefix, n=args.n,
+                                          field=args.role):
+                print(json.dumps({"term": term, "df": df}))
         elif args.cmd == "mlt":
             from anisearch_model_spark.query.engine import IndexStore
             from anisearch_model_spark.query.mlt import more_like_this

@@ -449,6 +449,20 @@ def expand_prefixes(index: IndexStore, prefixes: list[str],
     return out
 
 
+def suggest_terms(index: IndexStore, prefix: str, n: int = 10,
+                  field: str | None = None) -> list[tuple[str, int]]:
+    """Type-ahead term suggestion: the ``n`` highest-df dictionary terms
+    under ``prefix`` as ordered (term, df) pairs — the Lucene terms-enum
+    / suggester surface, served from the same bounded pushed-prefix
+    dictionary scan as ``expand_prefixes`` (never a vocabulary scan).
+    """
+    if not prefix or not prefix.strip():
+        raise ValueError("suggestion prefix must be non-empty")
+    got = expand_prefixes(index, [prefix.strip().lower()], field=field,
+                          max_expansions=n)
+    return sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
 def resolve_query_idf(index: IndexStore, query_text: str,
                       field: str | None = None,
                       max_expansions: int = MAX_EXPANSIONS) -> dict[str, float]:

@@ -288,3 +288,49 @@ def test_cli_mlt_subcommand(spark, index_dir, capsys):
         IndexStore(spark, index_dir), 3, k=5).collect()]
     assert [(r["rank"], r["doc_id"]) for r in rows] == \
         [(w["rank"], w["doc_id"]) for w in want]
+
+
+# ------------------------------------------------------------- suggest
+
+def test_suggest_terms_and_serve_route(spark, index_dir):
+    import io
+    import json as _json
+
+    from anisearch_model_spark.cli import serve_loop
+    from anisearch_model_spark.query.engine import suggest_terms
+
+    idx = IndexStore(spark, index_dir)
+    got = suggest_terms(idx, "te", n=5)
+    assert 0 < len(got) <= 5
+    assert all(t.startswith("te") for t, _ in got)
+    # ordered by (df DESC, term ASC)
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+    # n caps the expansion
+    assert len(suggest_terms(idx, "te", n=2)) == 2
+    with pytest.raises(ValueError):
+        suggest_terms(idx, "   ")
+
+    reqs = [
+        _json.dumps({"suggest": "te", "k": 5}),
+        _json.dumps({"suggest": 42}),          # bad type → error line
+        "quit",
+    ]
+    out = io.StringIO()
+    serve_loop(spark, index_dir, io.StringIO("\n".join(reqs)), out,
+               log=False)
+    lines = [_json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert lines[0]["results"] == [{"term": t, "df": df} for t, df in got]
+    assert "error" in lines[1]
+
+
+def test_cli_suggest_subcommand(spark, index_dir, capsys):
+    import json as _json
+
+    from anisearch_model_spark import cli
+
+    rc = cli.main(["suggest", "--index", index_dir, "--prefix", "te",
+                   "--n", "3"])
+    assert rc == 0
+    rows = [_json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and all(r["term"].startswith("te") for r in rows)
