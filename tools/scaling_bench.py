@@ -47,6 +47,27 @@ def child(cores: int, input_path: str, index_dir: str) -> None:
     spark.stop()
 
 
+def _child_cmd(cores: int, idx: str) -> list[str]:
+    """Each scaling child runs via ``spark-submit --py-files <pkg.zip>``
+    when spark-submit is on the box (the north rule's packaging contract
+    — executors import the engine from the shipped archive, not the
+    driver's cwd), falling back to plain ``python`` otherwise.  The
+    child's own ``get_spark(cores=N)`` pins ``--master local[N]``, so
+    spark-submit needs no master flag; driver memory must be a submit
+    arg because it cannot be raised after the JVM starts."""
+    submit = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+    script = os.path.abspath(__file__)
+    args = ["--child", str(cores), INPUT, idx]
+    if os.path.isfile(submit) and os.access(submit, os.X_OK):
+        sys.path.insert(0, REPO)
+        from anisearch_model_spark.session import package_zip
+
+        return [submit, "--py-files", package_zip(),
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+                script, *args]
+    return [sys.executable, script, *args]
+
+
 def _ceiling_task(args):
     per_task, seed = args
     import sys as _s
@@ -131,8 +152,7 @@ def main() -> None:
         # throttle window must be attributable (round-3 forensics)
         probes[cores] = _host_probe()
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(cores), INPUT, idx],
+            _child_cmd(cores, idx),
             capture_output=True, text=True, check=True, cwd=REPO,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
