@@ -76,7 +76,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     ``{"query": ..., "k": 10, "page": 1, "role": ..., "exhaustive":
     false, "phrase": false, "slop": 0, "boolean": false, "snippets":
     false, "fields": [...], "conversations": false, "facets": "role",
-    "mlt": <doc_id>, "m": 5, "fused_fields": {"user": 1.0}}`` — one JSON
+    "mlt": <doc_id>, "m": 5, "fused_fields": {"user": 1.0},
+    "suggest": "prefix", "count": false}`` — one JSON
     response line each (``facets`` histograms the full match set over a
     doc_map column, ``mlt`` runs more-like-this from a source doc id —
     no ``query`` key needed, ``fused_fields`` scores conversations by
@@ -195,6 +196,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return [{"term": t, "df": df} for t, df in
                         suggest_terms(idx, suggest, n=k, field=role)]
+            if req.get("count"):
+                from anisearch_model_spark.query.engine import match_count
+
+                return [{"n_matches": match_count(idx, req["query"],
+                                                  field=role)}]
             if mlt is not None:
                 from anisearch_model_spark.query.mlt import more_like_this
 
@@ -360,6 +366,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fields", default=None,
                    help="comma-separated fields: per-field scoring + "
                         "conv-level merge (reference multi-column search)")
+    s.add_argument("--count", action="store_true",
+                   help="print the total live-doc hit count only (no "
+                        "ranking; Lucene TotalHitCountCollector analog)")
     s.add_argument("--facets", default=None, metavar="COL",
                    help="instead of ranked results, print the facet "
                         "histogram of the FULL match set over this "
@@ -492,6 +501,13 @@ def main(argv: list[str] | None = None) -> int:
             import time
 
             t0 = time.time()
+            if args.count:
+                from anisearch_model_spark.query.engine import match_count
+
+                print(json.dumps(
+                    {"n_matches": match_count(idx, args.query,
+                                              field=args.role)}))
+                return 0
             if args.facets:
                 from anisearch_model_spark.query.facets import facet_counts
 

@@ -449,6 +449,15 @@ def expand_prefixes(index: IndexStore, prefixes: list[str],
     return out
 
 
+def match_count(index: IndexStore, query_text: str,
+                field: str | None = None) -> int:
+    """Total-hit count: how many live docs match ≥1 query term — the
+    Lucene TotalHitCountCollector surface.  One distributed count over
+    the term-pruned partial relation (no ranking, no top-k); tombstones
+    excluded by the same mask as the scorers."""
+    return score_matches(index, query_text, field=field).count()
+
+
 def suggest_terms(index: IndexStore, prefix: str, n: int = 10,
                   field: str | None = None) -> list[tuple[str, int]]:
     """Type-ahead term suggestion: the ``n`` highest-df dictionary terms

@@ -334,3 +334,31 @@ def test_cli_suggest_subcommand(spark, index_dir, capsys):
     rows = [_json.loads(x) for x in
             capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 3 and all(r["term"].startswith("te") for r in rows)
+
+
+# --------------------------------------------------------------- count
+
+def test_match_count_and_serve_count_route(spark, index_dir, oracle, capsys):
+    import io
+    import json as _json
+
+    from anisearch_model_spark.cli import serve_loop
+    from anisearch_model_spark.query.engine import match_count
+
+    idx = IndexStore(spark, index_dir)
+    assert match_count(idx, Q) == len(oracle.score(Q))
+    assert match_count(idx, "zzznosuchterm") == 0
+
+    out = io.StringIO()
+    serve_loop(spark, index_dir,
+               io.StringIO(_json.dumps({"query": Q, "count": True}) + "\nquit\n"),
+               out, log=False)
+    line = _json.loads(out.getvalue().strip().splitlines()[0])
+    assert line["results"] == [{"n_matches": len(oracle.score(Q))}]
+
+    from anisearch_model_spark import cli
+
+    rc = cli.main(["search", "--index", index_dir, "--query", Q, "--count"])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"n_matches": len(oracle.score(Q))}
