@@ -66,7 +66,7 @@ def index_info(index_dir: str) -> dict:
 
 
 def serve_loop(spark, index_dir: str, in_stream, out_stream,
-               log: bool = True) -> int:
+               log: bool = True, idle_clear_sec: float = 300.0) -> int:
     """Line-oriented query service over ONE session and ONE IndexStore.
 
     The reference runs a long-lived HTTP service with per-request
@@ -102,12 +102,21 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
     idx = IndexStore(spark, index_dir)
     served = 0
+    last_request = time.time()
     for line in in_stream:
         line = line.strip()
         if not line:
             continue
         if line in ("quit", "exit"):
             break
+        # idle memory discipline (reference api.py:112-156: unload after
+        # 300 idle seconds): after a long gap, drop the driver-side
+        # caches before serving — they reload lazily and are
+        # mtime-validated, so results are unaffected
+        now = time.time()
+        if idle_clear_sec and now - last_request > idle_clear_sec:
+            idx.clear_caches()
+        last_request = now
         served += 1
         try:
             req = json.loads(line) if line.startswith("{") else {"query": line}

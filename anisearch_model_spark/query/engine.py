@@ -150,6 +150,20 @@ class IndexStore:
                 checked += 1
         return checked > 0
 
+    def clear_caches(self) -> None:
+        """Drop every driver-side cache (df LRU, manifest, snapshot path
+        lists, tombstones) — the engine analog of the reference service's
+        idle memory clear (``/root/reference/src/api.py:112-156``, which
+        unloads models and embedding matrices after 5 idle minutes).
+        Everything reloads lazily on the next query; results are
+        unaffected (the caches are mtime-validated anyway)."""
+        self._df_cache.clear()
+        self._manifest_cache = None
+        self._manifest_mtime = None
+        self._snapshot_paths.clear()
+        self._tomb = None
+        self._tomb_mtime = None
+
     def term_dfs(self, terms: list[str],
                  field: str | None = None) -> dict[str, int]:
         """term → document frequency for the given terms (optionally

@@ -362,3 +362,42 @@ def test_match_count_and_serve_count_route(spark, index_dir, oracle, capsys):
     assert rc == 0
     got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got == {"n_matches": len(oracle.score(Q))}
+
+
+# ---------------------------------------------------------- idle clear
+
+def test_clear_caches_preserves_results(spark, index_dir):
+    from anisearch_model_spark.query.engine import search
+
+    idx = IndexStore(spark, index_dir)
+    before = [r.asDict() for r in search(idx, Q, k=5).collect()]
+    assert idx._df_cache  # queries populated the LRU
+    idx.clear_caches()
+    assert not idx._df_cache and idx._manifest_cache is None
+    after = [r.asDict() for r in search(idx, Q, k=5).collect()]
+    assert before == after
+
+
+def test_serve_loop_idle_clear(spark, index_dir, monkeypatch):
+    import io
+    import json as _json
+    import time as _time
+
+    from anisearch_model_spark.cli import serve_loop
+
+    calls = []
+    monkeypatch.setattr(IndexStore, "clear_caches",
+                        lambda self: calls.append(1), raising=True)
+
+    def reqs():
+        yield _json.dumps({"query": "hero", "k": 2}) + "\n"
+        _time.sleep(0.05)
+        yield _json.dumps({"query": "hero", "k": 2}) + "\n"
+        yield "quit\n"
+
+    out = io.StringIO()
+    served = serve_loop(spark, index_dir, reqs(), out, log=False,
+                        idle_clear_sec=0.01)
+    assert served == 2
+    # only the post-gap request triggers the clear
+    assert len(calls) == 1
