@@ -189,6 +189,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("facets", facets is not None),
                                          ("mlt", mlt is not None),
                                          ("suggest", suggest is not None),
+                                         ("count", bool(req.get("count"))),
                                          ("fused_fields", fused is not None)]
                          if on]
             if len(exclusive) > 1:

@@ -100,7 +100,10 @@ def token_budget_mix(df: DataFrame, group_col: str, weight_col: str,
     w = Window.partitionBy(group_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    slim = df.select(group_col, id_col, weight_col, order_col)
+    # dict-dedupe: order_col == weight_col (budget by the priority metric
+    # itself) must not produce a duplicate-name projection
+    slim = df.select(*dict.fromkeys([group_col, id_col, weight_col,
+                                     order_col]))
     picked = (
         slim.withColumn("_cum", F.sum(weight_col).over(w))
         .filter(F.col("_cum") <= budget)
