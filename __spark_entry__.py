@@ -1282,6 +1282,69 @@ def bm25_more_like_this(spark, sf_dir):
     )
 
 
+def bm25_conv_rollup(spark, sf_dir):
+    """Entity-rollup search (module path:
+    operators/corpus_prep.py::rollup_conversations): roll documents up
+    to ONE doc per SOURCE (texts concatenated in doc_id order — the
+    conversation/hypertable rollup pattern), then BM25 top-10 at the
+    entity granularity.  BM25 over the rollup ≡ BM25 over per-entity
+    summed tf and dl, so the turn-level machinery serves entity search
+    unchanged; the reference's rows are this shape natively
+    (src/api.py:316-349)."""
+    from anisearch_model_spark.operators.corpus_prep import (
+        rollup_conversations)
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    rolled = rollup_conversations(tr).select(
+        F.col("conv_id").alias("source"), "text"
+    )
+    toks = rolled.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("source")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
+    )
+    stats = tf.agg(
+        F.countDistinct("source").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("source")).alias("avgdl"),
+    )
+    scored = (
+        tf2.filter(F.col("token").isin(_BM25_QUERY_TERMS))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    w = Window.partitionBy(constant_partition("source")).orderBy(
+        F.desc("score"), F.asc("source")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("source"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "source", "score")
+    )
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling (module path:
     operators/sampling.py::stratified_sample): exactly 20 docs per lang
@@ -1373,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facets": bm25_facets,
         "bm25_fusion_weighted": bm25_fusion_weighted,
         "bm25_more_like_this": bm25_more_like_this,
+        "bm25_conv_rollup": bm25_conv_rollup,
         "sample_stratified": sample_stratified,
         "mix_token_budget": mix_token_budget,
         "multimodal_features": multimodal_features,
@@ -2315,6 +2379,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY w.doc_id)
             SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::bigint AS rank,
                    doc_id, score::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_conv_rollup": f"""
+            WITH rolled AS (
+              SELECT source,
+                     string_agg(text, ' ' ORDER BY doc_id) AS text
+              FROM documents GROUP BY source),
+            toks AS (
+              SELECT source, t.token
+              FROM rolled,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT source, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.source,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 4)
+                       AS score
+              FROM tf JOIN ndf USING (token) JOIN dl USING (source), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.source)
+            SELECT row_number() OVER (ORDER BY score DESC, source ASC)::bigint AS rank,
+                   source, score::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
         "sample_stratified": """

@@ -24,6 +24,9 @@ def constant_partition(anchor_col: str) -> Column:
     """A non-foldable constant partition key (= 0 for every non-null row).
 
     ``anchor_col`` must be a non-null column of the frame being ranked
-    (ids/keys in all call sites).  Only use AFTER a bounding ``limit``.
+    (ids/keys in all call sites) of ANY type — the length-of-cast form
+    stays numeric for string anchors too (a bare ``col * 0`` ANSI-casts
+    a string anchor to bigint and throws).  Only use AFTER a bounding
+    ``limit``.
     """
-    return F.col(anchor_col) * F.lit(0)
+    return F.length(F.col(anchor_col).cast("string")) * F.lit(0)

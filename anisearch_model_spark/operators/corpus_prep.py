@@ -92,3 +92,56 @@ def prepare_corpus(
     if text_cols:
         merged = any_nonempty_filter(merged, list(text_cols))
     return merged
+
+
+def rollup_conversations(tr, sep: str = " "):
+    """Roll multi-turn transcripts up to ONE document per conversation —
+    the coarse-granularity rollup that lets the same index machinery
+    serve entity-level search (document = conversation, text = turns
+    concatenated in turn order).
+
+    BM25 over the rollup is exactly BM25 over per-conversation summed
+    term frequencies and summed doc lengths (term positions don't enter
+    the score), so this one pre-aggregation turns the turn-level engine
+    into a conversation-level engine with no scorer changes; build the
+    result with ``build_index`` and query it with any scorer.  The
+    reference's entity rows (one anime, 10 synopsis columns,
+    src/api.py:316-349) are this shape natively — transcripts need the
+    rollup.
+
+    Shape: one shuffle on conv_id; the concat is a partial-merge
+    objectHashAggregate (collect_list merges map-side), and the sort is
+    per-conversation over that conversation's own turns (array_sort of
+    (turn_idx, text) structs — no global sort).  Role/tool survive as
+    arrays of the distinct values seen, ts as the conversation's first
+    timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        tr.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "text"))
+            ).alias("_turns"),
+            F.array_sort(F.array_distinct(
+                F.collect_list("role"))).alias("roles"),
+            F.array_sort(F.array_distinct(
+                F.collect_list("tool"))).alias("tools"),
+            F.min("ts").alias("ts"),
+            F.count("*").alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            F.lit(0).alias("turn_idx"),
+            F.lit("conv").alias("role"),
+            F.array_join(
+                F.transform("_turns", lambda t: t["text"]), sep
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            "ts",
+            "roles",
+            "tools",
+            "n_turns",
+        )
+    )
