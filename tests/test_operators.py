@@ -232,6 +232,53 @@ def test_prepare_corpus_composition(spark):
     assert got[5]["brand"] == "L5"
 
 
+def test_rollup_conversations_merge_and_tf_identity(spark):
+    """Entity rollup: one doc per conversation, text concatenated in
+    turn order (even when input rows arrive shuffled), role/tool carried
+    as sorted distinct arrays, ts = first timestamp.  Also the property
+    that makes the rollup USEFUL: the rollup doc's term frequencies are
+    exactly the per-turn tfs summed (BM25 over the rollup ≡ BM25 over
+    per-conversation summed tf/dl — positions never enter the score)."""
+    import datetime as dt
+
+    from anisearch_model_spark.functions.normalize import tokenize_series
+    from anisearch_model_spark.operators.corpus_prep import (
+        rollup_conversations)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [  # deliberately NOT in turn order
+        ("c1", 2, "assistant", "the dragon wins", "search", t0.replace(hour=14)),
+        ("c1", 0, "user", "hero fights dragon", None, t0),
+        ("c1", 1, "assistant", "dragon breathes fire", None, t0.replace(hour=13)),
+        ("c2", 0, "system", "lone turn", "calc", t0.replace(hour=9)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {r["conv_id"]: r.asDict()
+           for r in rollup_conversations(tr).collect()}
+    assert sorted(got) == ["c1", "c2"]
+    assert got["c1"]["text"] == (
+        "hero fights dragon dragon breathes fire the dragon wins")
+    assert got["c1"]["roles"] == ["assistant", "user"]
+    assert got["c1"]["tools"] == ["search"]
+    assert got["c1"]["n_turns"] == 3
+    assert got["c1"]["ts"] == t0  # earliest turn's timestamp
+    assert got["c2"]["text"] == "lone turn"
+    # tf identity: tokens of the rollup == multiset-union of turn tokens
+    import collections
+
+    import pandas as pd
+
+    turn_toks = collections.Counter(
+        t for toks in tokenize_series(
+            pd.Series([r[3] for r in rows if r[0] == "c1"]))
+        for t in toks)
+    roll_toks = collections.Counter(
+        tokenize_series(pd.Series([got["c1"]["text"]]))[0])
+    assert roll_toks == turn_toks
+
+
 # ---------------------------------------------------------------- multifield
 
 
