@@ -45,7 +45,6 @@ from anisearch_model_spark.query.engine import (
     IndexStore,
     _idf_map,
     _partials,
-    parse_query,
 )
 
 
