@@ -431,6 +431,18 @@ def tx_token_count(spark, sf_dir):
     return with_token_count(d).select("doc_id", "n_tokens")
 
 
+def tx_subword_count(spark, sf_dir):
+    """BPE-ish token census (module path:
+    operators/textstats.py::with_subword_count): regex pre-tokenization
+    (letter runs / digit runs / symbols) with per-run subword estimates
+    — the brief's second counting mode beside the whitespace census
+    (reference census: src/misc/max_tokens.py:17-78)."""
+    from anisearch_model_spark.operators.textstats import with_subword_count
+
+    d = _t(spark, sf_dir, "documents")
+    return with_subword_count(d).select("doc_id", "n_subword_tokens")
+
+
 def tx_token_stats(spark, sf_dir):
     """A4 analog: corpus token-length aggregates per lang."""
     from anisearch_model_spark.operators.textstats import with_token_count
@@ -1406,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": events_asof_tolerance,
         "events_range_join": events_range_join,
         "tx_token_count": tx_token_count,
+        "tx_subword_count": tx_subword_count,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
         "tx_lang_id": tx_lang_id,
@@ -1727,6 +1740,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END::bigint AS n_tokens
+            FROM documents
+        """,
+        "tx_subword_count": """
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(
+                     regexp_extract_all(lower(text),
+                                        '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                     x -> CASE WHEN regexp_matches(x, '^[a-z]')
+                               THEN ceil(length(x) / 6.0)
+                               WHEN regexp_matches(x, '^[0-9]')
+                               THEN ceil(length(x) / 3.0)
+                               ELSE 1 END)), 0)::bigint
+                     AS n_subword_tokens
             FROM documents
         """,
         "tx_token_stats": """

@@ -26,6 +26,47 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", n.cast("long"))
 
 
+def with_subword_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: regex pre-tokenization + per-run subword
+    estimate (the task brief's second counting mode next to the
+    whitespace census).
+
+    Real BPE tokenizers run a regex pre-tokenizer first (GPT-2 splits
+    into letter runs, digit runs, and punctuation) and then merge within
+    each run; token counts end up ≈ run-length / mean-merged-piece-size.
+    This operator reproduces that shape deterministically and
+    SQL-expressibly so budget/mixture pipelines can plan against it with
+    no tokenizer library in the loop:
+
+      * pre-tokenize ``lower(text)`` with ``[a-z]+|[0-9]+|[^a-z0-9\\s]``
+        (letter runs, digit runs, single non-space symbols — the same
+        class split GPT-2's pattern makes, minus contraction special
+        cases that need lookahead);
+      * letter runs count ``ceil(len/6)`` pieces (BPE pieces average
+        4-6 chars inside words), digit runs ``ceil(len/3)`` (numbers
+        split into 1-3 digit pieces), symbols 1 each.
+
+    Whole-stage-codegen'd: one ``regexp_extract_all`` + a higher-order
+    ``aggregate`` fold per row; no shuffle, no Python.
+    """
+    # pattern passed as a column literal, NOT through F.expr — a SQL
+    # string literal would eat the backslash in \s
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    runs = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(pat), F.lit(0)
+    )
+    n = F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x.rlike("^[a-z]"), F.ceil(F.length(x) / 6.0))
+        .when(x.rlike("^[0-9]"), F.ceil(F.length(x) / 3.0))
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+    return df.withColumn("n_subword_tokens", n)
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite.
 

@@ -279,6 +279,23 @@ def test_rollup_conversations_merge_and_tf_identity(spark):
     assert roll_toks == turn_toks
 
 
+def test_subword_count_hand_computed(spark):
+    """BPE-ish census against hand counts: letter runs ceil(len/6),
+    digit runs ceil(len/3), symbols 1 each, whitespace free."""
+    from anisearch_model_spark.operators.textstats import with_subword_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"),            # 5,5 letters -> 1+1
+         (2, "internationalization"),   # 20 letters -> ceil(20/6)=4
+         (3, "pi = 3.14159"),           # pi(1) '='(1) 3(1) '.'(1) 14159(ceil 5/3=2)
+         (4, ""),                       # empty -> 0
+         (5, "a 1234 b!")],             # a(1) 1234(2) b(1) !(1)
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_subword_tokens"]
+           for r in with_subword_count(df).collect()}
+    assert got == {1: 2, 2: 4, 3: 6, 4: 0, 5: 5}
+
+
 # ---------------------------------------------------------------- multifield
 
 
