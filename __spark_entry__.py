@@ -443,6 +443,18 @@ def tx_subword_count(spark, sf_dir):
     return with_subword_count(d).select("doc_id", "n_subword_tokens")
 
 
+def tx_winnow(spark, sf_dir):
+    """Winnowing fingerprints (module path:
+    operators/textstats.py::winnow_fingerprints): rolling k-gram md5
+    hashes, per-window minima (MOSS winnowing, k=8 w=4) — any shared
+    substring >= k+w-1 chars forces a shared fp, so near-dup detection
+    is an equi-join on fp.  Returns the exploded (doc_id, fp) set."""
+    from anisearch_model_spark.operators.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=8, w=4)
+
+
 def tx_token_stats(spark, sf_dir):
     """A4 analog: corpus token-length aggregates per lang."""
     from anisearch_model_spark.operators.textstats import with_token_count
@@ -1419,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "tx_token_count": tx_token_count,
         "tx_subword_count": tx_subword_count,
+        "tx_winnow": tx_winnow,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
         "tx_lang_id": tx_lang_id,
@@ -1754,6 +1767,25 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 1 END)), 0)::bigint
                      AS n_subword_tokens
             FROM documents
+        """,
+        "tx_winnow": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(s) - 7),
+                       i -> substr(md5(substr(s, i, 8)), 1, 8)) AS hs
+              FROM n WHERE length(s) >= 8),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_transform(generate_series(1, len(hs) - 3),
+                         j -> list_aggregate(hs[j:j+3], 'min'))
+                     ELSE [list_aggregate(hs, 'min')] END AS mins
+              FROM g)
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
         """,
         "tx_token_stats": """
             SELECT lang, max(n_tokens)::bigint AS max_tokens,

@@ -135,6 +135,60 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting algorithm) — the brief's rolling-hash
+    fingerprint mode beside the whole-document md5 key.
+
+    Per document: normalize to the alphanumeric stream, hash every
+    character ``k``-gram (rolling positions), then keep the MINIMUM hash
+    of each ``w``-window of consecutive gram hashes.  The guarantee that
+    makes this the near-dup fingerprint of choice: any shared substring
+    of length ≥ ``k + w - 1`` yields at least one shared fingerprint, so
+    overlap detection needs only an equi-join on ``fp`` — never a text
+    comparison.  Documents shorter than ``k`` normalized chars emit no
+    rows.
+
+    Returns the exploded set: ``(id_col, fp)`` rows, ``fp`` distinct per
+    doc.  Hashes are the first 8 hex chars of md5 — engine-independent,
+    and fixed-width lowercase hex makes lexicographic ``array_min`` the
+    numeric minimum, so no hex→int conversion enters the plan.  Shape:
+    per-row array ops only (no shuffle until the caller aggregates);
+    ~|text| md5 calls per doc, all inside whole-stage codegen.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: F.substring(norm, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    mins = F.when(
+        F.size(hashes) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(
+        # shorter than one full window: a single global min (the
+        # algorithm's natural degenerate case — still ≥1 fingerprint
+        # for any doc with ≥1 gram)
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-text fingerprint: md5 of lowercase, whitespace-collapsed
     text.  Identical across engines (md5 is md5), used as the exact-dedup

@@ -296,6 +296,30 @@ def test_subword_count_hand_computed(spark):
     assert got == {1: 2, 2: 4, 3: 6, 4: 0, 5: 5}
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    """The winnowing contract: two docs sharing a normalized substring
+    of length >= k + w - 1 share at least one fingerprint; disjoint
+    texts share none; a short-but-hashable doc still emits >= 1 fp."""
+    from anisearch_model_spark.operators.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, f"PREFIX ALPHA {shared} SUFFIX ONE"),
+         (2, f"other start {shared} other end"),
+         (3, "entirely disjoint wording with zero overlap at all"),
+         (4, "tiny doc"),       # 7 normalized chars < k=8 -> no rows
+         (5, "ninechars")],     # 9 chars: 2 grams < w -> global-min fp
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]            # shared substring -> shared fp
+    assert not (by_doc[1] & by_doc[3])      # disjoint -> disjoint
+    assert 4 not in by_doc                  # sub-k doc emits nothing
+    assert len(by_doc[5]) == 1              # degenerate single window
+
+
 # ---------------------------------------------------------------- multifield
 
 
