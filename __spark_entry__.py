@@ -514,6 +514,17 @@ def dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(d, threshold=0.5, max_token_df=10)
 
 
+def dedup_winnow(spark, sf_dir):
+    """Rolling-hash near-dup pairs (module path:
+    operators/dedup.py::winnow_pairs): winnowing fingerprints (k=8,
+    w=4) with rare-fp blocking (df ≤ 10) and candidate-driven
+    array_intersect verify on fingerprint-set Jaccard ≥ 0.5."""
+    from anisearch_model_spark.operators.dedup import winnow_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_pairs(d, k=8, w=4, threshold=0.5, max_fp_df=10)
+
+
 def dedup_minhash(spark, sf_dir):
     from anisearch_model_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1438,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_winnow": dedup_winnow,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_shingle": dedup_minhash_shingle,
         "dedup_simhash": dedup_simhash,
@@ -1880,6 +1892,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_tokens + sb.n_tokens - inter), 4) >= 0.5
+        """,
+        "dedup_winnow": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(s) - 7),
+                       i -> substr(md5(substr(s, i, 8)), 1, 8)) AS hs
+              FROM n WHERE length(s) >= 8),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_transform(generate_series(1, len(hs) - 3),
+                         j -> list_aggregate(hs[j:j+3], 'min'))
+                     ELSE [list_aggregate(hs, 'min')] END AS mins
+              FROM g),
+            fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+            fdf AS (SELECT fp, count(*) AS fp_df FROM fps GROUP BY 1),
+            rare AS (SELECT fps.doc_id, fps.fp FROM fps
+                     JOIN fdf USING (fp) WHERE fp_df <= 10),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rare a JOIN rare b USING (fp)
+                     WHERE a.doc_id < b.doc_id),
+            arr AS (SELECT doc_id, list(fp) AS fa, count(*) AS nf
+                    FROM fps GROUP BY 1)
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(x.fa, y.fa))::double
+                         / (x.nf + y.nf - len(list_intersect(x.fa, y.fa))),
+                         4) AS fp_jaccard
+            FROM cand
+            JOIN arr x ON x.doc_id = doc_a
+            JOIN arr y ON y.doc_id = doc_b
+            WHERE round(len(list_intersect(x.fa, y.fa))::double
+                        / (x.nf + y.nf - len(list_intersect(x.fa, y.fa))),
+                        4) >= 0.5
         """,
         "dedup_minhash": f"""
             WITH {toks_cte},

@@ -176,6 +176,78 @@ def jaccard_pairs(
     return _verify_jaccard(cand, toks, threshold)
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint-set Jaccard — the
+    rolling-hash route to near-dup detection (MOSS): robust to word
+    reordering limits of token sets because fingerprints are CHARACTER
+    k-gram window minima, so any shared run of ≥ k+w-1 normalized chars
+    forces a shared fingerprint.
+
+    Same scale discipline as ``jaccard_pairs``: candidates must share a
+    RARE fingerprint (doc frequency ≤ max_fp_df — boilerplate substrings
+    shared by half the corpus never enter the self-join), and the
+    verify is candidate-driven over per-doc sorted fingerprint ARRAYS
+    (array_intersect in codegen), never an exploded cand×fp relation.
+    Returns (doc_a, doc_b, fp_jaccard) with doc_a < doc_b, 4dp.
+    """
+    from anisearch_model_spark.operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                              k=k, w=w)
+    if id_col != "doc_id":
+        fps = fps.withColumnRenamed(id_col, "doc_id")
+    # same cache discipline as _fresh_token_cache: three plan branches
+    # read the md5-heavy fingerprint relation (df census, blocking join,
+    # verify arrays) — cache it once per run, releasing the previous
+    # dedup run's caches in this session
+    mine = _token_caches.setdefault(id(df.sparkSession), [])
+    while mine:
+        mine.pop().unpersist()
+    fps = fps.cache()
+    mine.append(fps)
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    rare = fps.join(
+        F.broadcast(fp_df.filter(F.col("fp_df") <= max_fp_df)), "fp"
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fp_arr = fps.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("fp")).alias("_fps"),
+        F.count("*").alias("_n"),
+    )
+    a = fp_arr.select(F.col("doc_id").alias("doc_a"),
+                      F.col("_fps").alias("_fa"), F.col("_n").alias("na"))
+    b = fp_arr.select(F.col("doc_id").alias("doc_b"),
+                      F.col("_fps").alias("_fb"), F.col("_n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("_fa"), F.col("_fb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "fp_jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("fp_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "fp_jaccard")
+    )
+
+
 def minhash_signature_arrays(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, toks: DataFrame | None = None

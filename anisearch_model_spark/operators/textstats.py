@@ -162,30 +162,46 @@ def winnow_fingerprints(
     per-row array ops only (no shuffle until the caller aggregates);
     ~|text| md5 calls per doc, all inside whole-stage codegen.
     """
+    # STAGED projections, each referencing the PREVIOUS stage's bound
+    # column: a single-expression form would inline ``hashes`` into
+    # every window's slice() lambda, re-evaluating the whole md5 array
+    # per window — O(|text|²) md5 calls per row (measured 30× slower).
+    # Bound attribute references evaluate once per row, and Catalyst's
+    # CollapseProject keeps non-cheap multiply-referenced projections
+    # separate, so each stage computes exactly once.
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    s = F.col("_s")
     grams = F.when(
-        F.length(norm) >= k,
+        F.length(s) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
-            lambda i: F.substring(norm, i, k),
+            F.sequence(F.lit(1), F.length(s) - (k - 1)),
+            lambda i: F.substring(s, i, k),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    hs = F.col("_hs")
     mins = F.when(
-        F.size(hashes) >= w,
+        F.size(hs) >= w,
         F.transform(
-            F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
-            lambda j: F.array_min(F.slice(hashes, j, w)),
+            F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
         ),
     ).otherwise(
         # shorter than one full window: a single global min (the
         # algorithm's natural degenerate case — still ≥1 fingerprint
         # for any doc with ≥1 gram)
-        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
+        F.when(F.size(hs) > 0, F.array(F.array_min(hs)))
         .otherwise(F.array().cast("array<string>"))
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        df.select(F.col(id_col), norm.alias("_s"))
+        .select(id_col, grams.alias("_grams"))
+        .select(
+            id_col,
+            F.transform(
+                F.col("_grams"), lambda g: F.substring(F.md5(g), 1, 8)
+            ).alias("_hs"),
+        )
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
     )
 
 
