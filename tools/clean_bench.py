@@ -114,10 +114,12 @@ def main() -> None:
 
 
 def _best_attempt() -> dict | None:
-    """The rejected attempt with the lowest worst-probe stamp — the
-    round's best-available absolute numbers when no window ever opens.
-    Attempts predating the current commit's hot-path fixes still appear
-    in the file; the caller reads the per-query table critically."""
+    """The rejected attempt with the LOWEST SUITE TOTAL — contention
+    only ever inflates wall time, so the minimum total is the round's
+    best-available run (probe stamps are displayed alongside so the
+    residual handicap stays visible).  Selecting by probe stamps
+    instead can surface a stale pre-fix run whose window happened to be
+    quiet."""
     path = os.path.join(REPO, "BENCH", "clean_r5_attempts.jsonl")
     if not os.path.exists(path):
         return None
@@ -128,12 +130,9 @@ def _best_attempt() -> dict | None:
                 d = json.loads(ln)
             except json.JSONDecodeError:
                 continue
-            worst = max(d.get("host_probe_sec_start", 99),
-                        d.get("host_probe_sec_mid", 99),
-                        d.get("host_probe_sec_end", 99))
-            if best is None or worst < best[0]:
-                best = (worst, d)
-    return best[1] if best else None
+            if best is None or d.get("value", 1e9) < best.get("value", 1e9):
+                best = d
+    return best
 
 
 def _per_query_floor() -> dict[str, float]:
