@@ -1380,6 +1380,45 @@ def bm25_conv_rollup(spark, sf_dir):
     )
 
 
+def bm25f_conv_topk(spark, sf_dir):
+    """True BM25F (module path: query/bm25f.py::search_bm25f) through a
+    REAL field-qualified index: documents roll up to entities by
+    ``source``, each doc becomes a turn whose field is its doc_id parity
+    ('even' w=1.0 / 'odd' w=0.4), and the scorer combines per-field
+    length-normalized weighted tf BEFORE the single BM25 saturation —
+    Robertson/Zaragoza/Taylor CIKM'04, the principled form of the
+    reference's independent-column scoring + fusion
+    (``/root/reference/src/api.py:316-349``).  idf is entity-level
+    (N = distinct sources, df = sources containing the term), exactly
+    mirrored in the oracle.  Tokenizer note: the [a-z0-9 ] corpus makes
+    the engine tokenizer and the SQL whitespace split agree 1:1 (same
+    argument as bm25_topk_live_docs)."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.bm25f import search_bm25f
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_bm25f_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4, field_col="role")
+    idx = IndexStore(spark, idx_dir)
+    out = search_bm25f(idx, " ".join(_BM25_QUERY_TERMS),
+                       {"even": 1.0, "odd": 0.4}, k=10)
+    return out.select("rank", F.col("conv_id").alias("source"), "score")
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling (module path:
     operators/sampling.py::stratified_sample): exactly 20 docs per lang
@@ -1475,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fusion_weighted": bm25_fusion_weighted,
         "bm25_more_like_this": bm25_more_like_this,
         "bm25_conv_rollup": bm25_conv_rollup,
+        "bm25f_conv_topk": bm25f_conv_topk,
         "sample_stratified": sample_stratified,
         "mix_token_budget": mix_token_budget,
         "multimodal_features": multimodal_features,
@@ -2514,6 +2554,48 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.source)
             SELECT row_number() OVER (ORDER BY score DESC, source ASC)::bigint AS rank,
                    source, score::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25f_conv_topk": f"""
+            WITH tok AS (
+              SELECT source, doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS fld,
+                     t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT source, doc_id, fld, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2, 3, 4),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            fstat AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS fld,
+                     count(*) AS n_docs_f
+              FROM documents GROUP BY 1),
+            ftok AS (SELECT fld, count(*) AS toks_f FROM tok GROUP BY 1),
+            favg AS (SELECT fstat.fld, toks_f * 1.0 / n_docs_f AS avgdl_f
+                     FROM fstat JOIN ftok USING (fld)),
+            ne AS (SELECT count(DISTINCT source) AS n_e FROM documents),
+            tft AS (
+              SELECT tf.source, tf.token,
+                     sum((CASE tf.fld WHEN 'even' THEN 1.0 ELSE 0.4 END)
+                         * tf.tf
+                         / (1 - {_B} + {_B} * dl.dl / favg.avgdl_f)) AS tft
+              FROM tf JOIN dl USING (doc_id) JOIN favg USING (fld)
+              WHERE tf.token IN ('spark', 'join', 'window')
+              GROUP BY 1, 2),
+            dfe AS (SELECT token, count(DISTINCT source) AS df_e
+                    FROM tf WHERE token IN ('spark', 'join', 'window')
+                    GROUP BY 1),
+            scored AS (
+              SELECT tft.source,
+                     sum(ln(1 + (n_e - df_e + 0.5) / (df_e + 0.5))
+                         * tft * ({_K1} + 1) / ({_K1} + tft)) AS s
+              FROM tft JOIN dfe USING (token), ne
+              GROUP BY 1)
+            SELECT row_number() OVER (
+                     ORDER BY round(s, 4) DESC, source ASC)::bigint AS rank,
+                   source, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
         "sample_stratified": """

@@ -166,6 +166,23 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             ):
                 raise ValueError("'suggest' must be a non-empty prefix "
                                  "string")
+            bm25f = req.get("bm25f_fields")
+            if bm25f is not None:
+                if isinstance(bm25f, str):
+                    bm25f = dict(
+                        (p.split(":", 1)[0].strip(),
+                         float(p.split(":", 1)[1]))
+                        for p in bm25f.split(",") if p.strip()
+                    )
+                elif isinstance(bm25f, dict):
+                    bm25f = {str(f): float(w) for f, w in bm25f.items()}
+                else:
+                    raise ValueError("'bm25f_fields' must be a "
+                                     "{field: weight} object or a "
+                                     "'field:w,field:w' string")
+                if not bm25f:
+                    raise ValueError("'bm25f_fields' must name at least "
+                                     "one field")
             fused = req.get("fused_fields")
             if fused is not None:
                 if isinstance(fused, str):
@@ -190,7 +207,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("mlt", mlt is not None),
                                          ("suggest", suggest is not None),
                                          ("count", bool(req.get("count"))),
-                                         ("fused_fields", fused is not None)]
+                                         ("fused_fields", fused is not None),
+                                         ("bm25f_fields", bm25f is not None)]
                          if on]
             if len(exclusive) > 1:
                 raise ValueError(f"mutually exclusive routes: {exclusive}")
@@ -222,6 +240,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return facet_counts(idx, req["query"], facet_col=facets,
                                     field=role).collect()
+            if bm25f is not None:
+                from anisearch_model_spark.query.bm25f import search_bm25f
+
+                return search_bm25f(idx, req["query"], bm25f,
+                                    k=k, page=page).collect()
             if fused is not None:
                 from anisearch_model_spark.query.multifield import (
                     search_fields_fused)
@@ -293,10 +316,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     scorer="suggest" if suggest is not None else
                            ("mlt" if mlt is not None else
                             ("facets" if facets is not None else
-                             ("fused" if fused is not None else
+                             ("bm25f" if bm25f is not None else
+                              ("fused" if fused is not None else
                               ("phrase" if phrase else
                                ("boolean" if boolean else
-                                ("bmw" if pruned else "exhaustive")))))),
+                                ("bmw" if pruned else "exhaustive"))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -387,6 +411,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="weighted CombSUM fusion: score conversations as "
                         "the weighted sum of per-field best BM25 hits "
                         "(e.g. user:1.0,assistant:0.5)")
+    s.add_argument("--bm25f-fields", default=None, metavar="F:W,F:W",
+                   help="true BM25F: combine per-field length-normalized "
+                        "weighted tf across a conversation's turns FIRST, "
+                        "saturate once, score with entity-level idf "
+                        "(Robertson CIKM'04; e.g. user:1.0,assistant:0.5)")
     s.add_argument("--log", action="store_true",
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
@@ -533,6 +562,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out = search_fields_fused(idx, args.query, weights,
                                           k=args.k, page=args.page)
+            elif args.bm25f_fields:
+                from anisearch_model_spark.query.bm25f import search_bm25f
+
+                weights = dict(
+                    (p.split(":", 1)[0].strip(), float(p.split(":", 1)[1]))
+                    for p in args.bm25f_fields.split(",") if p.strip()
+                )
+                out = search_bm25f(idx, args.query, weights,
+                                   k=args.k, page=args.page)
             elif args.phrase:
                 from anisearch_model_spark.query.phrase import phrase_search
 
@@ -576,10 +614,11 @@ def main(argv: list[str] | None = None) -> int:
                         ts=dt.datetime.now(), query_text=args.query, k=args.k,
                         page=args.page, field=args.role,
                         scorer="facets" if args.facets else
-                               ("fused" if args.fused_fields else
-                                ("phrase" if args.phrase else
-                                 ("boolean" if args.boolean else
-                                  ("bmw" if pruned else "exhaustive")))),
+                               ("bm25f" if args.bm25f_fields else
+                                ("fused" if args.fused_fields else
+                                 ("phrase" if args.phrase else
+                                  ("boolean" if args.boolean else
+                                   ("bmw" if pruned else "exhaustive"))))),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]

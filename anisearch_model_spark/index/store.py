@@ -152,12 +152,17 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         .agg(F.sum("cf").alias("s")).collect()[0]["s"]
         or 0
     )
+    doc_map = spark.read.schema(BUCKETED_SCHEMA).parquet(
+        os.path.join(index_dir, "doc_map"))
+    # conversation count — BM25F's entity-level N (query/bm25f.py);
+    # stamping it here makes n_entities() O(1) at query time instead of a
+    # per-store distinct-count over the doc_map
+    n_convs = doc_map.select("conv_id").distinct().count()
     fields: dict[str, dict] = {}
     if field_col:
         doc_counts = {
             r[field_col]: r["n"]
-            for r in spark.read.schema(BUCKETED_SCHEMA)
-            .parquet(os.path.join(index_dir, "doc_map"))
+            for r in doc_map
             .groupBy(field_col).agg(F.count("*").alias("n")).collect()
         }
         tok_counts = {
@@ -174,6 +179,7 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         }
     stats = {
         "n_docs": int(n_docs),
+        "n_convs": int(n_convs),
         "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
         "tokenizer_version": TOKENIZER_VERSION,
         "k1": params.k1,

@@ -63,6 +63,7 @@ class IndexStore:
         self._snapshot_paths: dict[str, list[str]] = {}  # table → bucket dirs
         self._tomb: np.ndarray | None = None  # sorted tombstoned doc ids
         self._tomb_mtime: float | None = None
+        self._n_entities: int | None = None  # conversation count (BM25F N)
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
         from anisearch_model_spark.index.store import INDEX_FORMAT_VERSION
@@ -163,6 +164,23 @@ class IndexStore:
         self._snapshot_paths.clear()
         self._tomb = None
         self._tomb_mtime = None
+        self._n_entities = None
+
+    def n_entities(self) -> int:
+        """Number of conversations in the corpus (BM25F's entity-level N,
+        query/bm25f.py).  Fast path: the build stamps ``n_convs`` into
+        stats.json (finalize_metadata); indexes predating the stamp fall
+        back to one column-pruned distinct-count over the doc_map, cached
+        for the life of the store (compaction/purge never change the
+        conversation set, and deletes intentionally don't shift corpus
+        stats until purge — the same contract as n_docs/avgdl)."""
+        cached = getattr(self, "_n_entities", None)
+        if cached is None:
+            n = self.stats.get("n_convs")
+            if n is None:
+                n = self.doc_map.select("conv_id").distinct().count()
+            self._n_entities = cached = int(n)
+        return cached
 
     def term_dfs(self, terms: list[str],
                  field: str | None = None) -> dict[str, int]:
