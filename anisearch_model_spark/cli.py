@@ -160,6 +160,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             mlt = req.get("mlt")
             if mlt is not None:
                 mlt = int(mlt)
+            explain = req.get("explain")
+            if explain is not None:
+                explain = int(explain)
+                if "query" not in req:
+                    raise ValueError("'explain' needs a 'query' to "
+                                     "explain the doc's score under")
             suggest = req.get("suggest")
             if suggest is not None and (
                 not isinstance(suggest, str) or not suggest.strip()
@@ -208,7 +214,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("suggest", suggest is not None),
                                          ("count", bool(req.get("count"))),
                                          ("fused_fields", fused is not None),
-                                         ("bm25f_fields", bm25f is not None)]
+                                         ("bm25f_fields", bm25f is not None),
+                                         ("explain", explain is not None)]
                          if on]
             if len(exclusive) > 1:
                 raise ValueError(f"mutually exclusive routes: {exclusive}")
@@ -229,6 +236,11 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return [{"n_matches": match_count(idx, req["query"],
                                                   field=role)}]
+            if explain is not None:
+                from anisearch_model_spark.query.explain import explain_score
+
+                return [explain_score(idx, req["query"], explain,
+                                      field=role)]
             if mlt is not None:
                 from anisearch_model_spark.query.mlt import more_like_this
 
@@ -314,13 +326,14 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                         else f"mlt:{mlt}"), k=k,
                     page=page, field=role,
                     scorer="suggest" if suggest is not None else
-                           ("mlt" if mlt is not None else
-                            ("facets" if facets is not None else
-                             ("bm25f" if bm25f is not None else
-                              ("fused" if fused is not None else
-                              ("phrase" if phrase else
-                               ("boolean" if boolean else
-                                ("bmw" if pruned else "exhaustive"))))))),
+                           ("explain" if explain is not None else
+                            ("mlt" if mlt is not None else
+                             ("facets" if facets is not None else
+                              ("bm25f" if bm25f is not None else
+                               ("fused" if fused is not None else
+                                ("phrase" if phrase else
+                                 ("boolean" if boolean else
+                                  ("bmw" if pruned else "exhaustive")))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -429,6 +442,16 @@ def main(argv: list[str] | None = None) -> int:
     g2.add_argument("--prefix", required=True)
     g2.add_argument("--n", type=int, default=10)
     g2.add_argument("--role", default=None)
+
+    x = sub.add_parser("explain", help="per-term BM25 score breakdown for "
+                                       "one (query, doc) pair — the Lucene "
+                                       "explain() analog; total equals the "
+                                       "search() score bit-for-bit")
+    x.add_argument("--index", required=True)
+    x.add_argument("--query", required=True)
+    x.add_argument("--doc-id", type=int, required=True)
+    x.add_argument("--role", default=None,
+                   help="scope to one field of a field-qualified index")
 
     m = sub.add_parser("mlt", help="more-like-this: top tf-idf terms of a "
                                    "source doc become a BM25 similarity "
@@ -640,6 +663,13 @@ def main(argv: list[str] | None = None) -> int:
             for term, df in suggest_terms(idx, args.prefix, n=args.n,
                                           field=args.role):
                 print(json.dumps({"term": term, "df": df}))
+        elif args.cmd == "explain":
+            from anisearch_model_spark.query.engine import IndexStore
+            from anisearch_model_spark.query.explain import explain_score
+
+            idx = IndexStore(spark, args.index)
+            print(json.dumps(explain_score(idx, args.query, args.doc_id,
+                                           field=args.role)))
         elif args.cmd == "mlt":
             from anisearch_model_spark.query.engine import IndexStore
             from anisearch_model_spark.query.mlt import more_like_this
