@@ -481,6 +481,23 @@ def tx_quality(spark, sf_dir):
     )
 
 
+def tx_repetition(spark, sf_dir):
+    """Within-document repetition metrics (module path:
+    operators/textstats.py::with_repetition_stats) — the Gopher
+    repetition filter rules (Rae et al. 2021): duplicate-token fraction,
+    most-frequent-token fraction, most-frequent-bigram fraction.
+    Computed per row with higher-order functions (sorted-run fold) —
+    zero shuffle; the oracle recomputes via unnest + window lead."""
+    from anisearch_model_spark.operators.textstats import (
+        with_repetition_stats)
+
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(d).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_token_frac",
+        "top_bigram_frac",
+    )
+
+
 def tx_lang_id(spark, sf_dir):
     from anisearch_model_spark.operators.textstats import with_lang_id
 
@@ -1482,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_count": tx_token_count,
         "tx_subword_count": tx_subword_count,
         "tx_winnow": tx_winnow,
+        "tx_repetition": tx_repetition,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
         "tx_lang_id": tx_lang_id,
@@ -1880,6 +1898,45 @@ def oracle_sql() -> dict[str, str]:
                      + least(round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END, 4)::double, 0.6) * 0.5
                      + CASE WHEN len >= 100 THEN 0.2 ELSE 0.0 END) * 10000) / 10000)::double AS quality_score
             FROM f
+        """,
+        "tx_repetition": """
+            WITH lists AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS toks
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS token,
+                     generate_subscripts(toks, 1) AS ord
+              FROM lists),
+            big AS (
+              SELECT doc_id,
+                     token || ' ' || lead(token) OVER (
+                       PARTITION BY doc_id ORDER BY ord) AS bg
+              FROM tok),
+            tot AS (SELECT doc_id, count(*) AS n,
+                           count(DISTINCT token) AS d
+                    FROM tok GROUP BY 1),
+            topt AS (SELECT doc_id, max(c) AS mx FROM (
+                       SELECT doc_id, token, count(*) AS c
+                       FROM tok GROUP BY 1, 2) GROUP BY 1),
+            topb AS (SELECT doc_id, max(c) AS mxb FROM (
+                       SELECT doc_id, bg, count(*) AS c
+                       FROM big WHERE bg IS NOT NULL GROUP BY 1, 2)
+                     GROUP BY 1)
+            SELECT l.doc_id,
+                   coalesce(n, 0)::bigint AS n_tokens,
+                   round(coalesce(1 - d * 1.0 / n, 0), 6)::double
+                     AS dup_token_frac,
+                   round(coalesce(mx * 1.0 / n, 0), 6)::double
+                     AS top_token_frac,
+                   round(coalesce(mxb * 1.0 / (n - 1), 0), 6)::double
+                     AS top_bigram_frac
+            FROM lists l
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN topt USING (doc_id)
+            LEFT JOIN topb USING (doc_id)
         """,
         "tx_lang_id": """
             SELECT doc_id,

@@ -211,3 +211,78 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     key at 100 TB scale (hash-groupBy instead of comparing full strings)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics — the Gopher repetition rules
+    (Rae et al. 2021, "Scaling Language Models", Table A1: documents
+    dominated by a few repeated tokens/n-grams are boilerplate or spam
+    and get filtered before pretraining):
+
+      * ``dup_token_frac``  = 1 − distinct_tokens / n_tokens
+      * ``top_token_frac``  = occurrences of the most frequent token / n
+      * ``top_bigram_frac`` = occurrences of the most frequent bigram /
+        (n − 1)
+
+    Tokens are lower/trim/whitespace-split (RAW text — no stopword
+    removal: repetition scoring is about surface redundancy).  All three
+    are computed PER ROW with higher-order functions (array_sort + one
+    fold counting the longest equal-run), so the operator is zero-shuffle
+    and whole-stage-codegen'd — the naive explode→groupBy formulation
+    shuffles a 10-40× row blow-up for what is a per-document property.
+    Fractions round to 6dp for cross-engine comparability.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0)
+
+    def max_run_frac(arr, denom):
+        """max occurrence count of any element / denom, via a sorted-run
+        fold: O(n log n) per row, no shuffle."""
+        best = F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1)).cast("long").alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                    .otherwise(F.lit(1)).cast("long"),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return F.when(denom > 0, best / denom).otherwise(F.lit(0.0))
+
+    out = df.withColumn("_toks", toks)
+    n = F.size("_toks").cast("long")
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        out.withColumn("n_tokens", n)
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.when(n > 0,
+                       1.0 - F.size(F.array_distinct("_toks")) / n)
+                .otherwise(F.lit(0.0)), 6),
+        )
+        .withColumn(
+            "top_token_frac",
+            F.round(max_run_frac(F.col("_toks"), n.cast("double")), 6),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                max_run_frac(bigrams, (n - 1).cast("double")), 6),
+        )
+        .drop("_toks")
+    )

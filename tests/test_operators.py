@@ -296,6 +296,34 @@ def test_subword_count_hand_computed(spark):
     assert got == {1: 2, 2: 4, 3: 6, 4: 0, 5: 5}
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition rules against hand counts; zero-shuffle plan
+    (the per-row sorted-run fold must not plan an Exchange)."""
+    from anisearch_model_spark.operators.textstats import (
+        with_repetition_stats)
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"),       # top tok 3/4, bigrams [a a, a a, a b] -> 2/3
+         (2, "x y z"),         # all distinct
+         (3, ""),              # empty -> all zero
+         (4, "w"),             # single token, no bigrams
+         (5, "go go go go"),   # fully repeated
+         (6, "a b a b a b")],  # alternating: top tok 3/6, top bigram 3/5
+        "doc_id long, text string")
+    out = with_repetition_stats(df)
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_token_frac"],
+                         r["top_token_frac"], r["top_bigram_frac"])
+           for r in out.collect()}
+    assert got[1] == (4, 0.5, 0.75, 0.666667)
+    assert got[2] == (3, 0.0, 0.333333, 0.5)
+    assert got[3] == (0, 0.0, 0.0, 0.0)
+    assert got[4] == (1, 0.0, 1.0, 0.0)
+    assert got[5] == (4, 0.75, 1.0, 1.0)
+    assert got[6] == (6, 0.666667, 0.5, 0.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-row stats must not shuffle"
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """The winnowing contract: two docs sharing a normalized substring
     of length >= k + w - 1 share at least one fingerprint; disjoint
