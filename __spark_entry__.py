@@ -1397,6 +1397,54 @@ def bm25_conv_rollup(spark, sf_dir):
     )
 
 
+def bm25_synonym_topk(spark, sf_dir):
+    """Blended synonym scoring (module path:
+    query/synonyms.py::search_synonyms) through a REAL index — Lucene
+    ``SynonymQuery`` semantics: 'join' expands to the group
+    {join, merge} scored as ONE virtual term (tf = Σ member tf,
+    df = |union of member doc sets|, so both spellings carry the same
+    idf); 'window' stays a singleton group, where the blended model
+    reduces to plain BM25 exactly.  The oracle mirrors the group map
+    with a CASE, the union df with count(DISTINCT doc), and the same
+    saturation.  The reference blurs synonymy implicitly in dense
+    embeddings (src/sbert.py); this is the explicit lexical
+    counterpart."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import (
+        IndexStore, probe_doc_map)
+    from anisearch_model_spark.query.synonyms import search_synonyms
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_syn_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    top = search_synonyms(idx, "join window", {"join": ["merge"]}, k=10)
+    top_local, meta = probe_doc_map(idx, top, ["doc_id", "conv_id"])
+    return (
+        top_local.join(meta, "doc_id")
+        .select(
+            "rank",
+            F.regexp_replace("conv_id", "^doc-", "").cast("long")
+            .alias("doc_id"),
+            "score",
+        )
+        .orderBy("rank")
+    )
+
+
 def bm25f_conv_topk(spark, sf_dir):
     """True BM25F (module path: query/bm25f.py::search_bm25f) through a
     REAL field-qualified index: documents roll up to entities by
@@ -1533,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_more_like_this": bm25_more_like_this,
         "bm25_conv_rollup": bm25_conv_rollup,
         "bm25f_conv_topk": bm25f_conv_topk,
+        "bm25_synonym_topk": bm25_synonym_topk,
         "sample_stratified": sample_stratified,
         "mix_token_budget": mix_token_budget,
         "multimodal_features": multimodal_features,
@@ -2611,6 +2660,39 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.source)
             SELECT row_number() OVER (ORDER BY score DESC, source ASC)::bigint AS rank,
                    source, score::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_synonym_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            blended AS (
+              SELECT doc_id,
+                     CASE WHEN token IN ('join', 'merge') THEN 'join'
+                          ELSE 'window' END AS grp,
+                     sum(tf) AS tf_g
+              FROM tf WHERE token IN ('join', 'merge', 'window')
+              GROUP BY 1, 2),
+            gdf AS (SELECT grp, count(DISTINCT doc_id) AS df_g
+                    FROM blended GROUP BY 1),
+            scored AS (
+              SELECT b.doc_id,
+                     sum(ln(1 + (n_docs - df_g + 0.5) / (df_g + 0.5))
+                         * tf_g * ({_K1} + 1)
+                         / (tf_g + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY grp) AS s
+              FROM blended b JOIN gdf USING (grp) JOIN dl USING (doc_id),
+                   stats
+              GROUP BY 1)
+            SELECT row_number() OVER (
+                     ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
         "bm25f_conv_topk": f"""

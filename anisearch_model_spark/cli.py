@@ -172,6 +172,26 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             ):
                 raise ValueError("'suggest' must be a non-empty prefix "
                                  "string")
+            syns = req.get("synonyms")
+            if syns is not None:
+                if "query" not in req:
+                    raise ValueError("'synonyms' needs a 'query' whose "
+                                     "terms it expands")
+                if isinstance(syns, str):
+                    # "join:merge|fuse,window:pane" shorthand
+                    syns = dict(
+                        (p.split(":", 1)[0].strip(),
+                         [v.strip() for v in p.split(":", 1)[1].split("|")
+                          if v.strip()])
+                        for p in syns.split(",") if ":" in p
+                    )
+                elif isinstance(syns, dict):
+                    syns = {str(t): [str(v) for v in vs]
+                            for t, vs in syns.items()}
+                else:
+                    raise ValueError("'synonyms' must be a {term: "
+                                     "[variants]} object or a "
+                                     "'term:v|v,term:v' string")
             bm25f = req.get("bm25f_fields")
             if bm25f is not None:
                 if isinstance(bm25f, str):
@@ -215,7 +235,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("count", bool(req.get("count"))),
                                          ("fused_fields", fused is not None),
                                          ("bm25f_fields", bm25f is not None),
-                                         ("explain", explain is not None)]
+                                         ("explain", explain is not None),
+                                         ("synonyms", syns is not None)]
                          if on]
             if len(exclusive) > 1:
                 raise ValueError(f"mutually exclusive routes: {exclusive}")
@@ -252,6 +273,13 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return facet_counts(idx, req["query"], facet_col=facets,
                                     field=role).collect()
+            if syns is not None:
+                from anisearch_model_spark.query.synonyms import (
+                    search_synonyms)
+
+                return search_synonyms(idx, req["query"], syns,
+                                       k=k, page=page,
+                                       field=role).collect()
             if bm25f is not None:
                 from anisearch_model_spark.query.bm25f import search_bm25f
 
@@ -327,13 +355,14 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     page=page, field=role,
                     scorer="suggest" if suggest is not None else
                            ("explain" if explain is not None else
-                            ("mlt" if mlt is not None else
-                             ("facets" if facets is not None else
-                              ("bm25f" if bm25f is not None else
-                               ("fused" if fused is not None else
-                                ("phrase" if phrase else
-                                 ("boolean" if boolean else
-                                  ("bmw" if pruned else "exhaustive")))))))),
+                            ("synonyms" if syns is not None else
+                             ("mlt" if mlt is not None else
+                              ("facets" if facets is not None else
+                               ("bm25f" if bm25f is not None else
+                                ("fused" if fused is not None else
+                                 ("phrase" if phrase else
+                                  ("boolean" if boolean else
+                                   ("bmw" if pruned else "exhaustive"))))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -424,6 +453,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="weighted CombSUM fusion: score conversations as "
                         "the weighted sum of per-field best BM25 hits "
                         "(e.g. user:1.0,assistant:0.5)")
+    s.add_argument("--synonyms", default=None, metavar="T:V|V,T:V",
+                   help="blended synonym groups (Lucene SynonymQuery): "
+                        "each query term and its variants score as ONE "
+                        "virtual term — tf sums, df is the union doc "
+                        "count (e.g. join:merge,window:pane)")
     s.add_argument("--bm25f-fields", default=None, metavar="F:W,F:W",
                    help="true BM25F: combine per-field length-normalized "
                         "weighted tf across a conversation's turns FIRST, "
@@ -585,6 +619,18 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out = search_fields_fused(idx, args.query, weights,
                                           k=args.k, page=args.page)
+            elif args.synonyms:
+                from anisearch_model_spark.query.synonyms import (
+                    search_synonyms)
+
+                groups = dict(
+                    (p.split(":", 1)[0].strip(),
+                     [v.strip() for v in p.split(":", 1)[1].split("|")
+                      if v.strip()])
+                    for p in args.synonyms.split(",") if ":" in p
+                )
+                out = search_synonyms(idx, args.query, groups, k=args.k,
+                                      page=args.page, field=args.role)
             elif args.bm25f_fields:
                 from anisearch_model_spark.query.bm25f import search_bm25f
 
@@ -637,11 +683,12 @@ def main(argv: list[str] | None = None) -> int:
                         ts=dt.datetime.now(), query_text=args.query, k=args.k,
                         page=args.page, field=args.role,
                         scorer="facets" if args.facets else
-                               ("bm25f" if args.bm25f_fields else
-                                ("fused" if args.fused_fields else
-                                 ("phrase" if args.phrase else
-                                  ("boolean" if args.boolean else
-                                   ("bmw" if pruned else "exhaustive"))))),
+                               ("synonyms" if args.synonyms else
+                                ("bm25f" if args.bm25f_fields else
+                                 ("fused" if args.fused_fields else
+                                  ("phrase" if args.phrase else
+                                   ("boolean" if args.boolean else
+                                    ("bmw" if pruned else "exhaustive")))))),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]
