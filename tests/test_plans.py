@@ -208,3 +208,48 @@ def test_fused_search_prunes_field_partitions(spark):
     idx = IndexStore(spark, d)
     scored = score_matches(idx, "hero battle", field="user")
     assert has_partition_filter(scored, "field")
+
+
+def test_bm25f_plan_prunes_terms_fields_and_takes_ordered(spark):
+    """search_bm25f's postings scan must push the term IN filter and
+    carry a field PartitionFilter scoped to the WEIGHTED fields only;
+    the final page must plan as TakeOrderedAndProject (limit-first),
+    and the tiny tombstone exclusion must never appear as a sort-merge
+    join."""
+    import tempfile
+
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.plans.inspect import (
+        formatted_plan, has_partition_filter, has_pushed_filter,
+        takes_ordered_and_project)
+    from anisearch_model_spark.query.bm25f import (
+        _raw_term_postings, search_bm25f)
+    from anisearch_model_spark.query.engine import IndexStore
+
+    d = tempfile.mkdtemp(prefix="bm25fplan") + "/idx"
+    tr = gen_transcripts(spark, 600, seed=11)
+    build_index(spark, tr, d, num_buckets=2, field_col="role")
+    idx = IndexStore(spark, d)
+    raw = _raw_term_postings(idx, ["hero", "battle"], ["user"])
+    assert has_pushed_filter(raw, "term")
+    assert has_partition_filter(raw, "field")
+    out = search_bm25f(idx, "hero battle", {"user": 1.0}, k=5)
+    assert takes_ordered_and_project(out)
+    assert "SortMergeJoin" not in formatted_plan(out)
+
+
+def test_synonym_search_plan_prunes_members_and_takes_ordered(spark, index_dir):
+    """search_synonyms decodes ONLY member-term postings (term IN
+    pushdown covers the expanded member set) and pages limit-first."""
+    from anisearch_model_spark.plans.inspect import (
+        has_pushed_filter, takes_ordered_and_project)
+    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.synonyms import (
+        _member_postings, search_synonyms)
+
+    idx = IndexStore(spark, index_dir)
+    raw = _member_postings(idx, ["hero", "battle", "magic"])
+    assert has_pushed_filter(raw, "term")
+    out = search_synonyms(idx, "hero", {"hero": ["battle"]}, k=5)
+    assert takes_ordered_and_project(out)
