@@ -122,11 +122,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             req = json.loads(line) if line.startswith("{") else {"query": line}
             if not isinstance(req, dict) or (
                 "query" not in req and "mlt" not in req
-                and "suggest" not in req
+                and "suggest" not in req and "spell" not in req
             ):
                 raise ValueError("request must be a query string or a "
                                  "JSON object with a 'query' (or 'mlt' "
-                                 "doc id / 'suggest' prefix) key")
+                                 "doc id / 'suggest' prefix / 'spell' "
+                                 "query) key")
             # admission covers parameter coercion too: {"k": "abc"} must
             # come back as an error response, never kill the loop
             k = int(req.get("k", 10))
@@ -172,6 +173,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             ):
                 raise ValueError("'suggest' must be a non-empty prefix "
                                  "string")
+            spell = req.get("spell")
+            if spell is not None and (
+                not isinstance(spell, str) or not spell.strip()
+            ):
+                raise ValueError("'spell' must be a non-empty query "
+                                 "string to spell-check")
             syns = req.get("synonyms")
             if syns is not None:
                 if "query" not in req:
@@ -236,7 +243,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("fused_fields", fused is not None),
                                          ("bm25f_fields", bm25f is not None),
                                          ("explain", explain is not None),
-                                         ("synonyms", syns is not None)]
+                                         ("synonyms", syns is not None),
+                                         ("spell", spell is not None)]
                          if on]
             if len(exclusive) > 1:
                 raise ValueError(f"mutually exclusive routes: {exclusive}")
@@ -247,6 +255,10 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
         t0 = time.time()
 
         def _run():
+            if spell is not None:
+                from anisearch_model_spark.query.spell import did_you_mean
+
+                return [did_you_mean(idx, spell, field=role)]
             if suggest is not None:
                 from anisearch_model_spark.query.engine import suggest_terms
 
@@ -351,10 +363,12 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                     query_text=req.get(
                         "query",
                         f"suggest:{suggest}" if suggest is not None
-                        else f"mlt:{mlt}"), k=k,
+                        else (f"spell:{spell}" if spell is not None
+                              else f"mlt:{mlt}")), k=k,
                     page=page, field=role,
-                    scorer="suggest" if suggest is not None else
-                           ("explain" if explain is not None else
+                    scorer="spell" if spell is not None else
+                           ("suggest" if suggest is not None else
+                            ("explain" if explain is not None else
                             ("synonyms" if syns is not None else
                              ("mlt" if mlt is not None else
                               ("facets" if facets is not None else
@@ -362,7 +376,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                 ("fused" if fused is not None else
                                  ("phrase" if phrase else
                                   ("boolean" if boolean else
-                                   ("bmw" if pruned else "exhaustive"))))))))),
+                                   ("bmw" if pruned else "exhaustive")))))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -378,7 +392,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             {"query": req.get(
                 "query",
                 f"suggest:{suggest}" if suggest is not None
-                else f"mlt:{mlt}"),
+                else (f"spell:{spell}" if spell is not None
+                      else f"mlt:{mlt}")),
              "wall_ms": round(wall_ms, 3),
              "results": [r.asDict() if hasattr(r, "asDict") else r
                          for r in rows]}, default=str) + "\n")
@@ -476,6 +491,18 @@ def main(argv: list[str] | None = None) -> int:
     g2.add_argument("--prefix", required=True)
     g2.add_argument("--n", type=int, default=10)
     g2.add_argument("--role", default=None)
+
+    sp = sub.add_parser("spell", help="did-you-mean spell correction: "
+                                      "query terms absent from the "
+                                      "dictionary get replacements ranked "
+                                      "by (edit distance, df) — Lucene "
+                                      "DirectSpellChecker analog")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--max-edits", type=int, default=2)
+    sp.add_argument("--n", type=int, default=3,
+                    help="suggestions per unknown term")
+    sp.add_argument("--role", default=None)
 
     x = sub.add_parser("explain", help="per-term BM25 score breakdown for "
                                        "one (query, doc) pair — the Lucene "
@@ -710,6 +737,15 @@ def main(argv: list[str] | None = None) -> int:
             for term, df in suggest_terms(idx, args.prefix, n=args.n,
                                           field=args.role):
                 print(json.dumps({"term": term, "df": df}))
+        elif args.cmd == "spell":
+            from anisearch_model_spark.query.engine import IndexStore
+            from anisearch_model_spark.query.spell import did_you_mean
+
+            idx = IndexStore(spark, args.index)
+            print(json.dumps(did_you_mean(idx, args.query,
+                                          field=args.role,
+                                          max_edits=args.max_edits,
+                                          n=args.n)))
         elif args.cmd == "explain":
             from anisearch_model_spark.query.engine import IndexStore
             from anisearch_model_spark.query.explain import explain_score
