@@ -539,6 +539,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--stream-dir", required=True)
     a.add_argument("--index", required=True)
 
+    mg = sub.add_parser("merge", help="merge independently built indexes "
+                                      "into one (Lucene addIndexes analog): "
+                                      "doc-id spaces re-base by offset, "
+                                      "posting buffers carry byte-identical, "
+                                      "dictionary/stats re-derive, "
+                                      "tombstones carry over")
+    mg.add_argument("--src", action="append", required=True,
+                    help="source index dir (repeat >= 2 times)")
+    mg.add_argument("--out", required=True, help="output index dir (new)")
+
     c = sub.add_parser("compact", help="merge small append buckets and "
                                        "purge tombstoned docs")
     c.add_argument("--index", required=True)
@@ -772,6 +782,10 @@ def main(argv: list[str] | None = None) -> int:
 
             incremental_append(spark, args.stream_dir, args.index)
             print(json.dumps({"status": "appended"}))
+        elif args.cmd == "merge":
+            from anisearch_model_spark.index.merge import merge_indexes
+
+            print(json.dumps(merge_indexes(spark, args.src, args.out)))
         elif args.cmd == "compact":
             from anisearch_model_spark.index.compact import (
                 compact_index, recode_index)
