@@ -498,6 +498,34 @@ def tx_repetition(spark, sf_dir):
     )
 
 
+def tx_pii_redact(spark, sf_dir):
+    """PII scrubbing (module path:
+    operators/textstats.py::with_pii_redacted) — the pre-mixing redaction
+    pass (emails / phone-like digit runs / IPv4) as pure columnar
+    regexp_replace chains with per-category audit counts.  The synthetic
+    corpus carries no PII, so the entry DECORATES each doc with
+    deterministic doc_id-derived PII (constructed identically in the
+    oracle) and verifies detection + replacement + counts cross-engine;
+    patterns live in the Java-regex ∩ RE2 subset so the SQL runs them
+    byte-identical."""
+    from anisearch_model_spark.operators.textstats import with_pii_redacted
+
+    d = _t(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return with_pii_redacted(decorated).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+
+
 def tx_lang_id(spark, sf_dir):
     from anisearch_model_spark.operators.textstats import with_lang_id
 
@@ -1548,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_subword_count": tx_subword_count,
         "tx_winnow": tx_winnow,
         "tx_repetition": tx_repetition,
+        "tx_pii_redact": tx_pii_redact,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
         "tx_lang_id": tx_lang_id,
@@ -1986,6 +2015,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN topt USING (doc_id)
             LEFT JOIN topb USING (doc_id)
+        """,
+        "tx_pii_redact": """
+            WITH deco AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::varchar
+                          || '@example.com at 10.0.'
+                          || (doc_id % 256)::varchar
+                          || '.7 call +1 415 555-'
+                          || lpad((doc_id % 10000)::varchar, 4, '0') AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, t,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM deco),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips,
+                     regexp_replace(t1,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, n_emails::bigint AS n_emails,
+                   n_ips::bigint AS n_ips,
+                   len(regexp_extract_all(t2,
+                     '\\+?\\b\\d[\\d\\s().-]{5,}\\d\\b'))::bigint AS n_phones,
+                   regexp_replace(t2, '\\+?\\b\\d[\\d\\s().-]{5,}\\d\\b',
+                                  '<PHONE>', 'g') AS text_redacted
+            FROM s2
         """,
         "tx_lang_id": """
             SELECT doc_id,

@@ -286,3 +286,49 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_toks")
     )
+
+
+# PII patterns — deliberately restricted to the Java-regex ∩ RE2 common
+# subset (word boundaries, NO lookaround) so the DuckDB oracle runs the
+# BYTE-IDENTICAL pattern: emails, phone-like digit runs (7+ digits with
+# optional separators), IPv4 addresses.  Known, documented false
+# positives of the lookaround-free form: a dotted version string like
+# 1.2.3.4.5 redacts its IPv4-shaped prefix; long dotted/dashed number
+# runs read as phones — the C4/RefinedWeb scrubbers accept the same
+# class of over-matching.  Production scrubbing layers more recognizers
+# (names, addresses, keys); the CONTRACT here is the Spark shape: pure
+# columnar regexp_replace, zero Python, count columns for audit
+# sampling.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\b\d[\d\s().-]{5,}\d\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses — the scrub pass a
+    pretraining pipeline runs before mixing (C4/RefinedWeb-style), as
+    pure columnar ``regexp_replace`` chains (whole-stage codegen, zero
+    Python, zero shuffle).
+
+    Adds ``<text_col>_redacted`` plus per-category match counts
+    (``n_emails``, ``n_phones``, ``n_ips``) so audits can sample
+    redaction-heavy documents without diffing text.  Order matters and
+    is fixed: emails first (their local part may contain digits a phone
+    pattern could eat), then IPv4 (dotted digits a phone pattern could
+    eat), then phones.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(
+        after_email, F.lit(PII_IPV4), F.lit(0)))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(
+        after_ip, F.lit(PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_ips", n_ips.cast("long"))
+        .withColumn("n_phones", n_phones.cast("long"))
+        .withColumn(f"{text_col}_redacted", redacted)
+    )

@@ -324,6 +324,31 @@ def test_repetition_stats_hand_computed(spark):
     assert "Exchange" not in plan, "per-row stats must not shuffle"
 
 
+def test_pii_redaction_hand_computed(spark):
+    """Email/IPv4/phone scrubbing with audit counts; zero-shuffle plan.
+    Known lookaround-free tradeoffs asserted explicitly: a dotted
+    version string redacts its IPv4-shaped prefix."""
+    from anisearch_model_spark.operators.textstats import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [(1, "contact bob.smith+x@corp.example.co or call "
+             "+1 (415) 555-0133 now"),
+         (2, "server at 10.0.42.7 port 8080, version 1.2.3.4.5 here"),
+         (3, "no pii here, year 2026 and pi 3.14"),
+         (4, "a@b.io and 192.168.0.1 and 0044 7700 900123")],
+        "doc_id long, text string")
+    out = with_pii_redacted(df)
+    got = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"],
+                         r["text_redacted"]) for r in out.collect()}
+    assert got[1] == (1, 0, 1, "contact <EMAIL> or call <PHONE> now")
+    assert got[2] == (0, 2, 0,
+                      "server at <IP> port 8080, version <IP>.5 here")
+    assert got[3] == (0, 0, 0, "no pii here, year 2026 and pi 3.14")
+    assert got[4] == (1, 1, 1, "<EMAIL> and <IP> and <PHONE>")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-row redaction must not shuffle"
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """The winnowing contract: two docs sharing a normalized substring
     of length >= k + w - 1 share at least one fingerprint; disjoint
