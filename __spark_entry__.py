@@ -526,6 +526,22 @@ def tx_pii_redact(spark, sf_dir):
         "doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
 
 
+def decontaminate_flags(spark, sf_dir):
+    """Train/test decontamination (module path:
+    operators/decontaminate.py::flag_contaminated) — GPT-3 appendix-C
+    rule: training docs sharing any exact n-gram (8 here; 13 in the
+    paper) with a benchmark set are flagged.  The benchmark is played by
+    three fixed corpus docs, so the flag set must include them plus
+    every doc sharing a full 8-gram.  Gram hashes broadcast; the
+    corpus-side relation never shuffles (plan-asserted in tests)."""
+    from anisearch_model_spark.operators.decontaminate import (
+        flag_contaminated)
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id").isin([1, 5, 9])).select("text")
+    return flag_contaminated(d, bench, n=8).orderBy("doc_id")
+
+
 def tx_lang_id(spark, sf_dir):
     from anisearch_model_spark.operators.textstats import with_lang_id
 
@@ -1577,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_winnow": tx_winnow,
         "tx_repetition": tx_repetition,
         "tx_pii_redact": tx_pii_redact,
+        "decontaminate_flags": decontaminate_flags,
         "tx_token_stats": tx_token_stats,
         "tx_quality": tx_quality,
         "tx_lang_id": tx_lang_id,
@@ -2015,6 +2032,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN topt USING (doc_id)
             LEFT JOIN topb USING (doc_id)
+        """,
+        "decontaminate_flags": """
+            WITH tt AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS toks
+              FROM documents),
+            tpos AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(
+                       1, greatest(len(toks) - 7, 0))) AS i
+              FROM tt),
+            bgrams AS (
+              SELECT DISTINCT md5(array_to_string(
+                       list_slice(toks, i, i + 7), ' ')) AS gram
+              FROM tpos WHERE doc_id IN (1, 5, 9)),
+            tgrams AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(
+                       list_slice(toks, i, i + 7), ' ')) AS gram
+              FROM tpos)
+            SELECT DISTINCT t.doc_id
+            FROM tgrams t JOIN bgrams USING (gram)
+            ORDER BY doc_id
         """,
         "tx_pii_redact": """
             WITH deco AS (

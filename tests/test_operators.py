@@ -324,6 +324,28 @@ def test_repetition_stats_hand_computed(spark):
     assert "Exchange" not in plan, "per-row stats must not shuffle"
 
 
+def test_decontamination_flags_exact_ngram_overlap(spark):
+    """GPT-3-style train/test decontamination: only docs sharing a FULL
+    n-gram with the bench set are flagged; the bench gram set must
+    broadcast (map-side join — the corpus side never shuffles on data)."""
+    from anisearch_model_spark.operators.decontaminate import (
+        flag_contaminated)
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "quick brown fox jumps over something else entirely here"),
+         (3, "quick brown fox sees spark joins and windows daily"),  # 3-gram only
+         (4, "short text")],  # shorter than n
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("q1", "what does the quick brown fox jumps over mean")],
+        "qid string, text string")
+    out = flag_contaminated(train, bench, n=5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_pii_redaction_hand_computed(spark):
     """Email/IPv4/phone scrubbing with audit counts; zero-shuffle plan.
     Known lookaround-free tradeoffs asserted explicitly: a dotted
