@@ -26,6 +26,69 @@ import json
 import sys
 
 
+def _parse_weight_map(s: str) -> dict[str, float]:
+    """'user:1.0,assistant:0.5' → {field: weight}.  Shared by the serve
+    loop and the CLI (fused_fields / bm25f_fields) so the ':'-guard is
+    uniform — an entry without ':' is an admission error, never an
+    IndexError that could kill the serve loop."""
+    out: dict[str, float] = {}
+    for p in s.split(","):
+        if not p.strip():
+            continue
+        if ":" not in p:
+            raise ValueError(f"expected field:weight, got {p.strip()!r}")
+        f, w = p.split(":", 1)
+        out[f.strip()] = float(w)
+    if not out:
+        raise ValueError("weight map must name at least one field")
+    return out
+
+
+def _parse_synonym_groups(s: str) -> dict[str, list[str]]:
+    """'join:merge|fuse,window:pane' → {term: [variants]}."""
+    out: dict[str, list[str]] = {}
+    for p in s.split(","):
+        if not p.strip():
+            continue
+        if ":" not in p:
+            raise ValueError(f"expected term:variant|variant, "
+                             f"got {p.strip()!r}")
+        t, vs = p.split(":", 1)
+        out[t.strip()] = [v.strip() for v in vs.split("|") if v.strip()]
+    return out
+
+
+def _coerce_synonyms(val) -> dict[str, list[str]]:
+    """Accept the dict form ({term: [variants]} — a lone string variant
+    is wrapped, NOT iterated per character) or the string shorthand."""
+    if isinstance(val, str):
+        return _parse_synonym_groups(val)
+    if isinstance(val, dict):
+        out: dict[str, list[str]] = {}
+        for t, vs in val.items():
+            if isinstance(vs, str):
+                vs = [vs]
+            elif not isinstance(vs, (list, tuple)):
+                raise ValueError("'synonyms' variants must be a list "
+                                 "or a single string")
+            out[str(t)] = [str(v) for v in vs]
+        return out
+    raise ValueError("'synonyms' must be a {term: [variants]} object "
+                     "or a 'term:v|v,term:v' string")
+
+
+def _coerce_weight_map(val, key: str) -> dict[str, float]:
+    if isinstance(val, str):
+        return _parse_weight_map(val)
+    if isinstance(val, dict):
+        out = {str(f): float(w) for f, w in val.items()}
+        if not out:
+            raise ValueError(f"'{key}' must name at least one field")
+        return out
+    raise ValueError(f"'{key}' must be a {{field: weight}} object or a "
+                     f"'field:w,field:w' string")
+
+
 def index_info(index_dir: str) -> dict:
     """Driver-side index health snapshot — manifest/stats/tombstones/
     positions, no SparkSession and no jobs (everything here is bounded
@@ -184,56 +247,13 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 if "query" not in req:
                     raise ValueError("'synonyms' needs a 'query' whose "
                                      "terms it expands")
-                if isinstance(syns, str):
-                    # "join:merge|fuse,window:pane" shorthand
-                    syns = dict(
-                        (p.split(":", 1)[0].strip(),
-                         [v.strip() for v in p.split(":", 1)[1].split("|")
-                          if v.strip()])
-                        for p in syns.split(",") if ":" in p
-                    )
-                elif isinstance(syns, dict):
-                    syns = {str(t): [str(v) for v in vs]
-                            for t, vs in syns.items()}
-                else:
-                    raise ValueError("'synonyms' must be a {term: "
-                                     "[variants]} object or a "
-                                     "'term:v|v,term:v' string")
+                syns = _coerce_synonyms(syns)
             bm25f = req.get("bm25f_fields")
             if bm25f is not None:
-                if isinstance(bm25f, str):
-                    bm25f = dict(
-                        (p.split(":", 1)[0].strip(),
-                         float(p.split(":", 1)[1]))
-                        for p in bm25f.split(",") if p.strip()
-                    )
-                elif isinstance(bm25f, dict):
-                    bm25f = {str(f): float(w) for f, w in bm25f.items()}
-                else:
-                    raise ValueError("'bm25f_fields' must be a "
-                                     "{field: weight} object or a "
-                                     "'field:w,field:w' string")
-                if not bm25f:
-                    raise ValueError("'bm25f_fields' must name at least "
-                                     "one field")
+                bm25f = _coerce_weight_map(bm25f, "bm25f_fields")
             fused = req.get("fused_fields")
             if fused is not None:
-                if isinstance(fused, str):
-                    # "user:1.0,assistant:0.5" shorthand
-                    fused = dict(
-                        (p.split(":", 1)[0].strip(),
-                         float(p.split(":", 1)[1]))
-                        for p in fused.split(",") if p.strip()
-                    )
-                elif isinstance(fused, dict):
-                    fused = {str(f): float(w) for f, w in fused.items()}
-                else:
-                    raise ValueError("'fused_fields' must be a "
-                                     "{field: weight} object or a "
-                                     "'field:w,field:w' string")
-                if not fused:
-                    raise ValueError("'fused_fields' must name at least "
-                                     "one field")
+                fused = _coerce_weight_map(fused, "fused_fields")
             exclusive = [n for n, on in [("phrase", phrase),
                                          ("boolean", boolean),
                                          ("facets", facets is not None),
@@ -650,33 +670,22 @@ def main(argv: list[str] | None = None) -> int:
                 from anisearch_model_spark.query.multifield import (
                     search_fields_fused)
 
-                weights = dict(
-                    (p.split(":", 1)[0].strip(), float(p.split(":", 1)[1]))
-                    for p in args.fused_fields.split(",") if p.strip()
-                )
-                out = search_fields_fused(idx, args.query, weights,
-                                          k=args.k, page=args.page)
+                out = search_fields_fused(
+                    idx, args.query, _parse_weight_map(args.fused_fields),
+                    k=args.k, page=args.page)
             elif args.synonyms:
                 from anisearch_model_spark.query.synonyms import (
                     search_synonyms)
 
-                groups = dict(
-                    (p.split(":", 1)[0].strip(),
-                     [v.strip() for v in p.split(":", 1)[1].split("|")
-                      if v.strip()])
-                    for p in args.synonyms.split(",") if ":" in p
-                )
-                out = search_synonyms(idx, args.query, groups, k=args.k,
-                                      page=args.page, field=args.role)
+                out = search_synonyms(
+                    idx, args.query, _parse_synonym_groups(args.synonyms),
+                    k=args.k, page=args.page, field=args.role)
             elif args.bm25f_fields:
                 from anisearch_model_spark.query.bm25f import search_bm25f
 
-                weights = dict(
-                    (p.split(":", 1)[0].strip(), float(p.split(":", 1)[1]))
-                    for p in args.bm25f_fields.split(",") if p.strip()
-                )
-                out = search_bm25f(idx, args.query, weights,
-                                   k=args.k, page=args.page)
+                out = search_bm25f(
+                    idx, args.query, _parse_weight_map(args.bm25f_fields),
+                    k=args.k, page=args.page)
             elif args.phrase:
                 from anisearch_model_spark.query.phrase import phrase_search
 

@@ -72,16 +72,23 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str], out_dir: str,
     field_col = stats_all[0].get("field_col")
     params = params or BM25Params()
 
-    # doc-id offsets: source i shifts by the total doc count before it
-    bases, total = [], 0
-    for s in stats_all:
-        bases.append(total)
-        total += int(s["n_docs"])
+    # doc-id offsets: source i shifts by the ID SPAN of everything before
+    # it, NOT the live doc count — after a purge stats.n_docs shrinks but
+    # doc ids are never renumbered (manifest ranges stay id spans,
+    # index/tombstones.py::purge_deleted), so offsetting by n_docs would
+    # collide a purged source's survivors with the next source's ids
+    bases, span_end, total = [], 0, 0
+    for s, m in zip(stats_all, manifests):
+        bases.append(span_end)
+        span_end += max(
+            (int(off) + int(cnt) for off, cnt in m["buckets"].values()),
+            default=0,
+        )
+        total += int(s["n_docs"])  # live docs (avgdl / n_docs stats)
 
     os.makedirs(out_dir, exist_ok=True)
     merged_buckets: dict[str, list[int]] = {}
     next_bucket = 0
-    n_blocks = 0
     for d, m, base in zip(src_dirs, manifests, bases):
         old_ids = sorted(int(b) for b in m["buckets"])
         remap = {old: next_bucket + i for i, old in enumerate(old_ids)}
@@ -89,28 +96,37 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str], out_dir: str,
         for old in old_ids:
             off, cnt = m["buckets"][str(old)]
             merged_buckets[str(remap[old])] = [int(off) + base, int(cnt)]
+
+        def _snapshot(table: str, schema: str):
+            """Read ONLY manifest-listed bucket dirs (the IndexStore
+            snapshot discipline): a plain recursive read would also pick
+            up staged/superseded directories left by an interrupted
+            compaction or purge and merge them as phantom duplicates."""
+            root = os.path.join(d, table)
+            paths = [os.path.join(root, f"bucket={b}") for b in old_ids
+                     if os.path.isdir(os.path.join(root, f"bucket={b}"))]
+            return (
+                spark.read.schema(schema).option("basePath", root)
+                .parquet(*paths)
+            )
+
         bmap = F.create_map(*[F.lit(x) for o, n in sorted(remap.items())
                               for x in (o, n)])
         doc_map = (
-            spark.read.schema(BUCKETED_SCHEMA)
-            .option("basePath", os.path.join(d, "doc_map"))
-            .parquet(os.path.join(d, "doc_map"))
+            _snapshot("doc_map", BUCKETED_SCHEMA)
             .withColumn("doc_id", F.col("doc_id") + base)
             .withColumn("bucket", bmap[F.col("bucket")])
         )
         doc_map.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(out_dir, "doc_map"))
         postings = (
-            spark.read.schema(POSTINGS_SCHEMA)
-            .option("basePath", os.path.join(d, "postings"))
-            .parquet(os.path.join(d, "postings"))
+            _snapshot("postings", POSTINGS_SCHEMA)
             .withColumn("first_doc_id", F.col("first_doc_id") + base)
             .withColumn("last_doc_id", F.col("last_doc_id") + base)
             .withColumn("bucket", bmap[F.col("bucket")])
         )
         postings.write.mode("append").partitionBy("bucket", "field").parquet(
             os.path.join(out_dir, "postings"))
-        n_blocks += 1
 
     manifest = {
         "buckets": merged_buckets,

@@ -110,23 +110,35 @@ def search_bm25f(index, query_text: str, weights: dict[str, float],
     n_entities = index.n_entities()
 
     raw = _raw_term_postings(index, terms, fields)
+    # tombstones as a LIVENESS FLAG, not a pre-filter: a dead turn's tf
+    # must not contribute to its conversation's score (results are live
+    # immediately), but the entity df below deliberately keeps counting
+    # conversations whose only matches are dead — corpus stats don't
+    # shift until purge, the same contract as the dictionary df and
+    # n_entities (engine.py)
     tomb = index.tombstones
     if len(tomb):
-        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
-        raw = raw.join(F.broadcast(tdf), "doc_id", "left_anti")
+        tdf = spark.createDataFrame(
+            [(int(t),) for t in tomb], "doc_id long"
+        ).withColumn("dead", F.lit(True))
+        raw = raw.join(F.broadcast(tdf), "doc_id", "left").withColumn(
+            "dead", F.coalesce(F.col("dead"), F.lit(False)))
+    else:
+        raw = raw.withColumn("dead", F.lit(False))
     meta = index.doc_map.select("doc_id", "conv_id")
     cand = raw.join(meta, "doc_id")
 
     wmap = F.create_map(*[F.lit(x) for f in fields for x in (f, weights[f])])
     amap = F.create_map(*[F.lit(x) for f in fields for x in (f, avgdl[f])])
-    tfn = (
+    tfn = F.when(F.col("dead"), F.lit(0.0)).otherwise(
         wmap[F.col("field")] * F.col("tf")
         / (1.0 - b + b * F.col("dl") / amap[F.col("field")])
     )
     # cross-field combine per (conversation, term), folded in a FIXED
     # (field, doc_id) order — float64 addition is order-sensitive and a
     # bare sum() is partition-order-dependent (same policy as
-    # engine.score_matches / multifield.fuse_weighted)
+    # engine.score_matches / multifield.fuse_weighted); dead rows fold
+    # +0.0 (exact identity), keeping live contributions bit-stable
     tft = (
         cand.withColumn("tfn", tfn)
         .groupBy("conv_id", "term")
@@ -139,9 +151,13 @@ def search_bm25f(index, query_text: str, weights: dict[str, float],
         )
     )
     # entity df as a window over the matched (conv, term) relation — one
-    # pass over the already-decoded candidates, no second index scan
+    # pass over the already-decoded candidates, no second index scan;
+    # counts dead-only convs too (stats-stable until purge, see above)
     tft = tft.withColumn(
         "df_e", F.count("*").over(Window.partitionBy("term")))
+    # a (conv, term) pair whose every contribution was dead scores zero —
+    # drop it so fully-deleted conversations leave the result set
+    tft = tft.filter(F.col("tft") > 0.0)
     idf = F.log(1.0 + (F.lit(float(n_entities)) - F.col("df_e") + 0.5)
                 / (F.col("df_e") + 0.5))
     tscore = idf * F.col("tft") * (k1 + 1.0) / (k1 + F.col("tft"))

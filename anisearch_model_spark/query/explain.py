@@ -50,8 +50,10 @@ def explain_score(index, query_text: str, doc_id: int,
                          f"doc-range — unknown document")
     n_docs, avgdl = index.field_stats(field)
     idf = resolve_query_idf(index, query_text, field=field)
-    tombstoned = bool(len(index.tombstones)
-                      and doc_id in set(index.tombstones.tolist()))
+    tomb = index.tombstones  # sorted — O(log T) membership, no copy
+    pos = int(np.searchsorted(tomb, doc_id)) if len(tomb) else 0
+    tombstoned = bool(len(tomb) and pos < len(tomb)
+                      and int(tomb[pos]) == doc_id)
     terms: list[dict] = []
     total = 0.0
     if idf:

@@ -49,15 +49,18 @@ def did_you_mean(index, query_text: str, field: str | None = None,
     unknown = sorted(t for t in set(terms) if not dfs.get(t))
     suggestions: dict[str, list[dict]] = {}
     for t in unknown:
+        # distance computed ONCE per dictionary row (it dominates the
+        # scan cost), filtered, then aggregated across fields
         d = index.dictionary.filter(
-            (F.abs(F.length(F.col("term")) - len(t)) <= max_edits)
-            & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
-        )
+            F.abs(F.length(F.col("term")) - len(t)) <= max_edits)
         if field is not None:
             d = d.filter(F.col("field") == field)
         rows = (
-            d.groupBy("term").agg(F.sum("df").alias("df"))
-            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+            d.withColumn("distance",
+                         F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("distance") <= max_edits)
+            .groupBy("term").agg(F.sum("df").alias("df"),
+                                 F.min("distance").alias("distance"))
             .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
             .limit(n)
             .collect()

@@ -103,10 +103,6 @@ def search_synonyms(index, query_text: str,
     n_docs, avgdl = index.field_stats(field)
 
     raw = _member_postings(index, sorted(member_of), field=field)
-    tomb = index.tombstones
-    if len(tomb):
-        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
-        raw = raw.join(F.broadcast(tdf), "doc_id", "left_anti")
     gmap = F.create_map(*[F.lit(x) for m, g in sorted(member_of.items())
                           for x in (m, g)])
     # blend per (doc, group): tf adds up, dl is the doc's length (every
@@ -116,9 +112,17 @@ def search_synonyms(index, query_text: str,
         .groupBy("doc_id", "grp")
         .agg(F.sum("tf").alias("tf_g"), F.max("dl").alias("dl"))
     )
-    # union df per group — one window over the blended relation
+    # union df per group — one window over the blended relation, counted
+    # BEFORE the tombstone exclusion: corpus stats deliberately don't
+    # shift until purge (dictionary df keeps counting deleted docs — the
+    # same contract as plain search), so a singleton group stays exactly
+    # equal to plain BM25 even while tombstones exist
     blended = blended.withColumn(
         "df_g", F.count("*").over(Window.partitionBy("grp")))
+    tomb = index.tombstones
+    if len(tomb):
+        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
+        blended = blended.join(F.broadcast(tdf), "doc_id", "left_anti")
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df_g") + 0.5)
                 / (F.col("df_g") + 0.5))
     pscore = (idf * F.col("tf_g") * (k1 + 1.0)

@@ -72,6 +72,39 @@ def test_merge_carries_tombstones(spark, tmp_path):
     assert not (hits & dead)
 
 
+def test_merge_after_purge_uses_id_spans_not_live_counts(spark, tmp_path):
+    """A purged source's live count shrinks but its doc-id SPAN does not
+    (ids are never renumbered) — merge offsets must use the span, or the
+    next source's ids collide with the purged source's survivors."""
+    from anisearch_model_spark.index.tombstones import (
+        delete_docs, purge_deleted)
+
+    a = _prefixed(spark, 600, 5, "a-")
+    b = _prefixed(spark, 400, 6, "b-")
+    da, db, dm = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(spark, a, da, num_buckets=2)
+    build_index(spark, b, db, num_buckets=2)
+    ia = IndexStore(spark, da)
+    span_a = ia.stats["n_docs"]
+    doomed = [int(r["doc_id"]) for r in search(
+        ia, "hero battle", k=20, with_metadata=False).collect()]
+    delete_docs(spark, da, doomed)
+    purge_deleted(spark, da)
+    metrics = merge_indexes(spark, [da, db], dm)
+    assert metrics["n_docs"] == span_a - len(doomed) + 400
+    im = IndexStore(spark, dm)
+    dm_ids = im.doc_map.select("doc_id")
+    assert dm_ids.count() == dm_ids.distinct().count(), "id collision"
+    # b's docs must live ABOVE a's full span, not above its live count
+    min_b = (im.doc_map.filter(F.col("conv_id").startswith("b-"))
+             .agg(F.min("doc_id")).collect()[0][0])
+    assert min_b == span_a
+    # purged ids are gone for good — b's re-based ids start at span_a,
+    # so none of the doomed ids can reappear under any conv
+    hits = search(im, "hero battle", k=10).collect()
+    assert hits and not ({int(r["doc_id"]) for r in hits} & set(doomed))
+
+
 def test_merge_refuses_contract_mismatch(spark, tmp_path):
     a = _prefixed(spark, 300, 7, "a-")
     b = _prefixed(spark, 300, 8, "b-")

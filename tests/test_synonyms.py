@@ -73,6 +73,30 @@ def test_co_occurring_variants_blend_tf(spark, tmp_path):
     assert single < both < 2 * single
 
 
+def test_singleton_reduction_holds_under_tombstones(spark, index_dir,
+                                                    tmp_path):
+    """Corpus stats don't shift until purge: with deletes pending, the
+    blended df must keep counting dead docs (like the dictionary df), so
+    singleton groups STILL score identically to the exhaustive scorer."""
+    import shutil
+
+    from anisearch_model_spark.index.tombstones import delete_docs
+
+    d = str(tmp_path / "idx_syn_tomb")
+    shutil.copytree(index_dir, d)
+    idx = IndexStore(spark, d)
+    pre = topk_exhaustive(idx, "hero battle", k=3).collect()
+    delete_docs(spark, d, [int(r["doc_id"]) for r in pre[:2]])
+    plain = [(r["rank"], r["doc_id"], round(r["score"], 4))
+             for r in topk_exhaustive(idx, "hero battle", k=10).collect()]
+    blended = [(r["rank"], r["doc_id"], r["score"])
+               for r in search_synonyms(idx, "hero battle", {},
+                                        k=10).collect()]
+    assert blended == plain and plain
+    dead = {int(r["doc_id"]) for r in pre[:2]}
+    assert not ({d_ for _, d_, _s in blended} & dead)
+
+
 def test_synonyms_serve_route(spark, index_dir):
     import io
 
@@ -84,12 +108,24 @@ def test_synonyms_serve_route(spark, index_dir):
         json.dumps({"query": "hero", "synonyms": "hero:magic|battle"}),
         json.dumps({"synonyms": {"hero": ["magic"]}}),  # no query
         json.dumps({"query": "x", "synonyms": {}, "mlt": 1}),  # exclusive
+        # a lone string variant must WRAP, never iterate per character
+        json.dumps({"query": "hero", "k": 2,
+                    "synonyms": {"hero": "magic"}}),
+        # shorthand entry without ':' → admission error, loop survives
+        json.dumps({"query": "hero", "synonyms": "hero"}),
+        json.dumps({"query": "hero", "bm25f_fields": "user"}),
     ]) + "\n"
     out = io.StringIO()
     served = serve_loop(spark, index_dir, io.StringIO(reqs), out, log=False)
     lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
-    assert served == 4
+    assert served == 7
     assert len(lines[0]["results"]) == 3
     assert lines[1]["results"]
     assert "error" in lines[2]  # no query key → admission error
     assert "error" in lines[3] and "mutually exclusive" in lines[3]["error"]
+    assert lines[4]["results"]
+    wrapped = {r["doc_id"]: r["score"] for r in lines[4]["results"]}
+    listed = {r["doc_id"]: r["score"] for r in lines[0]["results"][:2]}
+    assert all(wrapped[d] == listed[d] for d in wrapped if d in listed)
+    assert "error" in lines[5] and "term:variant" in lines[5]["error"]
+    assert "error" in lines[6] and "field:weight" in lines[6]["error"]
