@@ -140,6 +140,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     false, "phrase": false, "slop": 0, "boolean": false, "snippets":
     false, "fields": [...], "conversations": false, "facets": "role",
     "mlt": <doc_id>, "m": 5, "fused_fields": {"user": 1.0},
+    "bm25f_fields": {"user": 1.0}, "synonyms": {"join": ["merge"]},
+    "explain": <doc_id>, "spell": "querry text",
     "suggest": "prefix", "count": false}`` — one JSON
     response line each (``facets`` histograms the full match set over a
     doc_map column, ``mlt`` runs more-like-this from a source doc id —
