@@ -1489,6 +1489,42 @@ def bm25_synonym_topk(spark, sf_dir):
     )
 
 
+def bm25_boosted_topk(spark, sf_dir):
+    """Query-time term boosting through the REAL engine's block-max
+    scorer (engine.py::search/topk_bmw with ``boosts`` — Lucene
+    ``term^2``): boost multiplies a term's whole contribution via idf
+    pre-scaling, which keeps BMW's block upper bounds exact (tested
+    bit-identical to exhaustive in test_boosts.py).  The oracle mirrors
+    with a CASE multiplier on the per-term partial."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore, search
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_boost_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    out = search(idx, " ".join(_BM25_QUERY_TERMS), k=10,
+                 boosts={"spark": 2.0, "window": 0.5})
+    return out.select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("rank")
+
+
 def bm25f_conv_topk(spark, sf_dir):
     """True BM25F (module path: query/bm25f.py::search_bm25f) through a
     REAL field-qualified index: documents roll up to entities by
@@ -1628,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conv_rollup": bm25_conv_rollup,
         "bm25f_conv_topk": bm25f_conv_topk,
         "bm25_synonym_topk": bm25_synonym_topk,
+        "bm25_boosted_topk": bm25_boosted_topk,
         "sample_stratified": sample_stratified,
         "mix_token_budget": mix_token_budget,
         "multimodal_features": multimodal_features,
@@ -2765,6 +2802,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.source)
             SELECT row_number() OVER (ORDER BY score DESC, source ASC)::bigint AS rank,
                    source, score::double AS score
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "bm25_boosted_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(CASE tf.token WHEN 'spark' THEN 2.0
+                                       WHEN 'window' THEN 0.5
+                                       ELSE 1.0 END
+                         * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.doc_id)
+            SELECT row_number() OVER (
+                     ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
         """,
         "bm25_synonym_topk": f"""

@@ -256,6 +256,16 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             fused = req.get("fused_fields")
             if fused is not None:
                 fused = _coerce_weight_map(fused, "fused_fields")
+            boosts = req.get("boosts")
+            if boosts is not None:
+                boosts = _coerce_weight_map(boosts, "boosts")
+                special = [phrase, boolean, snippets, fields,
+                           req.get("conversations"), facets, mlt, suggest,
+                           spell, fused, bm25f, syns,
+                           req.get("count")]
+                if any(x for x in special):
+                    raise ValueError("'boosts' applies to plain term "
+                                     "search only")
             exclusive = [n for n, on in [("phrase", phrase),
                                          ("boolean", boolean),
                                          ("facets", facets is not None),
@@ -353,7 +363,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 return search_snippets(idx, req["query"], k=k, page=page,
                                        field=role, pruned=pruned).collect()
             return search(idx, req["query"], k=k, page=page, role=role,
-                          pruned=pruned).collect()
+                          pruned=pruned, boosts=boosts).collect()
 
         try:
             try:
@@ -490,6 +500,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="weighted CombSUM fusion: score conversations as "
                         "the weighted sum of per-field best BM25 hits "
                         "(e.g. user:1.0,assistant:0.5)")
+    s.add_argument("--boosts", default=None, metavar="T:W,T:W",
+                   help="query-time term boosts (Lucene term^2): multiply "
+                        "each term's whole contribution; works with both "
+                        "scorers (e.g. hero:2.0,battle:0.5)")
     s.add_argument("--synonyms", default=None, metavar="T:V|V,T:V",
                    help="blended synonym groups (Lucene SynonymQuery): "
                         "each query term and its variants score as ONE "
@@ -717,7 +731,9 @@ def main(argv: list[str] | None = None) -> int:
                                            page=args.page, pruned=pruned)
             else:
                 out = search(idx, args.query, k=args.k, pruned=pruned,
-                             page=args.page, role=args.role)
+                             page=args.page, role=args.role,
+                             boosts=(_parse_weight_map(args.boosts)
+                                     if args.boosts else None))
             rows = out.collect()
             wall_ms = (time.time() - t0) * 1000.0
             if args.log:

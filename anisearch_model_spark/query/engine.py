@@ -570,7 +570,8 @@ def _partials(index: IndexStore, terms: list[str], idf: dict[str, float],
 
 def score_matches(index: IndexStore, query_text: str,
                   params: BM25Params | None = None,
-                  field: str | None = None) -> DataFrame:
+                  field: str | None = None,
+                  boosts: dict[str, float] | None = None) -> DataFrame:
     """Exhaustive (doc_id, score) for EVERY live doc matching ≥1 query
     term — the full match set, no top-k cut.
 
@@ -580,12 +581,19 @@ def score_matches(index: IndexStore, query_text: str,
     weighted rank fusion (``query/multifield.py::search_fields_fused``).
     Cost scales with query-term posting volume, never corpus size: the
     postings scan term-IN-prunes (and field-partition-prunes), and the
-    one shuffle is the per-doc partial fold on doc_id."""
+    one shuffle is the per-doc partial fold on doc_id.
+
+    ``boosts`` (Lucene query-time boost, ``term^2`` semantics) scales a
+    term's whole contribution by multiplying its idf before the kernel —
+    exactly equivalent to ``boost · idf · tf-saturation`` and therefore
+    zero extra plan cost; unlisted terms boost 1.0."""
     params = params or BM25Params()
     spark = index.spark
     idf = resolve_query_idf(index, query_text, field=field)
     if not idf:
         return spark.createDataFrame([], "doc_id long, score double")
+    if boosts:
+        idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
     partials = _partials(index, sorted(idf), idf, params, field=field)
     # fold per doc in ascending term order — fixed float64 summation order
     scored = (
@@ -607,12 +615,14 @@ def score_matches(index: IndexStore, query_text: str,
 
 def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
                     params: BM25Params | None = None,
-                    field: str | None = None) -> DataFrame:
+                    field: str | None = None,
+                    boosts: dict[str, float] | None = None) -> DataFrame:
     """Exact top-k, bit-identical to the oracle: (rank, doc_id, score).
 
     ``field`` restricts scoring to one field's sub-corpus (per-field
     df/n/avgdl; the postings scan prunes on the field partition)."""
-    scored = score_matches(index, query_text, params, field=field)
+    scored = score_matches(index, query_text, params, field=field,
+                           boosts=boosts)
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.partitionBy(constant_partition("doc_id")).orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -624,7 +634,8 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
 
 def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
              params: BM25Params | None = None, decode_counter=None,
-             field: str | None = None) -> DataFrame:
+             field: str | None = None,
+             boosts: dict[str, float] | None = None) -> DataFrame:
     """Block-max pruned top-k. Identical output to ``topk_exhaustive``.
 
     Per bucket (doc-range shard): compute per-block BM25 upper bounds from
@@ -654,6 +665,11 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
+    if boosts:
+        # boost scales a term's WHOLE contribution; the per-block upper
+        # bounds below derive from this idf map, so the scaled map keeps
+        # BMW pruning exact under boosting too
+        idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
     _, avgdl = index.field_stats(field)
     k1, b = params.k1, params.b
     bidf = spark.sparkContext.broadcast(idf)
@@ -820,7 +836,8 @@ def probe_doc_map(index: IndexStore, top: DataFrame, meta_cols: list[str],
 def search(index: IndexStore, query_text: str, k: int = 10,
            params: BM25Params | None = None, pruned: bool = True,
            with_metadata: bool = True, page: int = 1,
-           role: str | None = None) -> DataFrame:
+           role: str | None = None,
+           boosts: dict[str, float] | None = None) -> DataFrame:
     """Top-k + doc metadata join (replaces reference's df.iloc positional
     probe, src/api.py:427-455 — explicit equi-join on doc_id instead).
 
@@ -834,10 +851,13 @@ def search(index: IndexStore, query_text: str, k: int = 10,
     scales with the page, ranking recomputed per page; src/api.py:424).
     ``role`` scopes the query to one field of a field-qualified index
     (reference single-column search analog, src/api.py:416-421) — the
-    postings scan prunes to that field's partitions."""
+    postings scan prunes to that field's partitions.
+    ``boosts`` ({term: weight}, Lucene ``term^2``) multiplies a term's
+    whole contribution in BOTH scorers (idf pre-scaling keeps BMW's
+    block bounds exact)."""
     cand_k = k * page
     top = (topk_bmw if pruned else topk_exhaustive)(
-        index, query_text, cand_k, params, field=role)
+        index, query_text, cand_k, params, field=role, boosts=boosts)
     if page > 1:
         lo, hi = (page - 1) * k, page * k
         top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
