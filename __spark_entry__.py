@@ -1316,7 +1316,10 @@ def bm25_fusion_weighted(spark, sf_dir):
         .agg(F.round(F.sum("pscore"), 4).alias("score"))
     )
     cands = scored.select(F.col("lang").alias("field"), "doc_id", "score", "source")
-    fused = fuse_weighted(cands, "source", _FUSION_WEIGHTS)
+    # fuse_weighted returns full precision; the oracle rounds the fused
+    # sum to 4 before ranking — mirror at the entry level
+    fused = fuse_weighted(cands, "source", _FUSION_WEIGHTS).withColumn(
+        "fused_score", F.round("fused_score", 4))
     out = rank_and_paginate(fused, page=1, results_per_page=10,
                             score_col="fused_score", id_col="doc_id")
     return out.select("rank", "source", "doc_id",
@@ -1475,18 +1478,26 @@ def bm25_synonym_topk(spark, sf_dir):
     shutil.rmtree(idx_dir, ignore_errors=True)
     build_index(spark, tr, idx_dir, num_buckets=4)
     idx = IndexStore(spark, idx_dir)
-    top = search_synonyms(idx, "join window", {"join": ["merge"]}, k=10)
+    from anisearch_model_spark.query.multifield import rank_and_paginate
+
+    # the engine returns full-precision float64; the oracle ranks by
+    # round(s, 4) with a doc_id tie-break, so fetch a 2x buffer and
+    # re-rank the ROUNDED score here (entry-level contract, not the
+    # scorer's)
+    top = search_synonyms(idx, "join window", {"join": ["merge"]}, k=20)
     top_local, meta = probe_doc_map(idx, top, ["doc_id", "conv_id"])
-    return (
+    rounded = (
         top_local.join(meta, "doc_id")
         .select(
-            "rank",
             F.regexp_replace("conv_id", "^doc-", "").cast("long")
             .alias("doc_id"),
-            "score",
+            F.round("score", 4).alias("score"),
         )
-        .orderBy("rank")
     )
+    return rank_and_paginate(
+        rounded, page=1, results_per_page=10,
+        score_col="score", id_col="doc_id",
+    ).select("rank", "doc_id", "score").orderBy("rank")
 
 
 def bm25_boosted_topk(spark, sf_dir):
@@ -1559,9 +1570,18 @@ def bm25f_conv_topk(spark, sf_dir):
     shutil.rmtree(idx_dir, ignore_errors=True)
     build_index(spark, tr, idx_dir, num_buckets=4, field_col="role")
     idx = IndexStore(spark, idx_dir)
+    from anisearch_model_spark.query.multifield import rank_and_paginate
+
+    # full-precision engine scores, oracle ranks round(s, 4) with a
+    # source tie-break — 2x buffer + entry-level rounded re-rank
     out = search_bm25f(idx, " ".join(_BM25_QUERY_TERMS),
-                       {"even": 1.0, "odd": 0.4}, k=10)
-    return out.select("rank", F.col("conv_id").alias("source"), "score")
+                       {"even": 1.0, "odd": 0.4}, k=20)
+    rounded = out.select(F.col("conv_id").alias("source"),
+                         F.round("score", 4).alias("score"))
+    return rank_and_paginate(
+        rounded, page=1, results_per_page=10,
+        score_col="score", id_col="source",
+    ).select("rank", "source", "score").orderBy("rank")
 
 
 def sample_stratified(spark, sf_dir):

@@ -261,7 +261,7 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 boosts = _coerce_weight_map(boosts, "boosts")
                 special = [phrase, boolean, snippets, fields,
                            req.get("conversations"), facets, mlt, suggest,
-                           spell, fused, bm25f, syns,
+                           spell, fused, bm25f, syns, explain,
                            req.get("count")]
                 if any(x for x in special):
                     raise ValueError("'boosts' applies to plain term "

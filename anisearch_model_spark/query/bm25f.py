@@ -158,20 +158,20 @@ def search_bm25f(index, query_text: str, weights: dict[str, float],
     # a (conv, term) pair whose every contribution was dead scores zero —
     # drop it so fully-deleted conversations leave the result set
     tft = tft.filter(F.col("tft") > 0.0)
-    idf = F.log(1.0 + (F.lit(float(n_entities)) - F.col("df_e") + 0.5)
-                / (F.col("df_e") + 0.5))
+    # log1p matches the numpy kernel's numerics (bm25_idf); full-precision
+    # float64 out — the sorted fold keeps the sum deterministic, and
+    # display/oracle rounding belongs to the caller, not the scorer
+    idf = F.log1p((F.lit(float(n_entities)) - F.col("df_e") + 0.5)
+                  / (F.col("df_e") + 0.5))
     tscore = idf * F.col("tft") * (k1 + 1.0) / (k1 + F.col("tft"))
     scored = (
         tft.withColumn("tscore", tscore)
         .groupBy("conv_id")
         .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("term", "tscore"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["tscore"],
-                ),
-                4,
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "tscore"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["tscore"],
             ).alias("score")
         )
     )

@@ -221,17 +221,15 @@ def fuse_weighted(cands: DataFrame, key_col: str, weights: dict[str, float],
     )
     # fused sum folds in ASCENDING FIELD order (sorted-array aggregate),
     # never a bare sum(): float64 addition is order-sensitive, and an
-    # unordered window sum is partition-order-dependent — round(·, 4) at
-    # a boundary then flips between runs (same fix as the engine's
-    # per-doc partial fold, query/engine.py::score_matches)
+    # unordered window sum is partition-order-dependent — the same value
+    # would then differ between runs (same fix as the engine's per-doc
+    # partial fold, query/engine.py::score_matches).  Full precision out;
+    # callers that compare against a rounding oracle round themselves.
     fused = best.groupBy(key_col).agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(field_col, "wscore"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["wscore"],
-            ),
-            4,
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(field_col, "wscore"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["wscore"],
         ).alias("fused_score")
     )
     w_key = Window.partitionBy(key_col).orderBy(

@@ -123,22 +123,24 @@ def search_synonyms(index, query_text: str,
     if len(tomb):
         tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
         blended = blended.join(F.broadcast(tdf), "doc_id", "left_anti")
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df_g") + 0.5)
-                / (F.col("df_g") + 0.5))
+    # log1p, not log(1 + x): same numerics as the numpy kernel
+    # (functions/normalize.py::bm25_idf) — a singleton group reduces to
+    # plain BM25 at full float64, not just to display precision
+    idf = F.log1p((F.lit(float(n_docs)) - F.col("df_g") + 0.5)
+                  / (F.col("df_g") + 0.5))
     pscore = (idf * F.col("tf_g") * (k1 + 1.0)
               / (F.col("tf_g")
                  + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))))
+    # full-precision float64 out (sorted fold keeps it deterministic);
+    # display/oracle rounding is the CALLER's contract, not the scorer's
     scored = (
         blended.withColumn("pscore", pscore)
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("grp", "pscore"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["pscore"],
-                ),
-                4,
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("grp", "pscore"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["pscore"],
             ).alias("score")
         )
     )

@@ -68,11 +68,11 @@ def _pandas_bm25f(corpus: pd.DataFrame, query: str,
     scores: dict[str, float] = {}
     for (conv, t), v in sorted(tft.items(), key=lambda x: (x[0][0], x[0][1])):
         df = len(dfe[t])
-        idf = math.log(1.0 + (n_entities - df + 0.5) / (df + 0.5))
+        idf = math.log1p((n_entities - df + 0.5) / (df + 0.5))
         scores[conv] = scores.get(conv, 0.0) + (
             idf * v * (p.k1 + 1.0) / (p.k1 + v))
     out = pd.DataFrame(
-        {"conv_id": list(scores), "score": [round(s, 4) for s in scores.values()]}
+        {"conv_id": list(scores), "score": list(scores.values())}
     ).sort_values(["score", "conv_id"], ascending=[False, True],
                   kind="mergesort").head(k).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
@@ -84,8 +84,11 @@ def test_bm25f_matches_pandas_reference(spark, field_idx):
     idx = IndexStore(spark, d)
     got = search_bm25f(idx, QUERY, WEIGHTS, k=20).toPandas()
     want = _pandas_bm25f(corpus, QUERY, WEIGHTS, k=20)
+    # full-precision float64 both sides; rtol covers a possible last-ulp
+    # gap between Java Math.log1p and C log1p
     pd.testing.assert_frame_equal(
-        got.reset_index(drop=True), want, check_dtype=False)
+        got.reset_index(drop=True), want, check_dtype=False,
+        rtol=1e-12, atol=0.0)
 
 
 def test_bm25f_saturates_once(spark, field_idx):

@@ -137,7 +137,6 @@ def test_search_fields_fused_matches_oracle(field_index):
     fused = best.groupby("conv_id", as_index=False).agg(
         fused_score=("wscore", "sum")
     )
-    fused["fused_score"] = fused["fused_score"].round(4)
     rep = best.sort_values(
         ["conv_id", "wscore", "field", "doc_id"],
         ascending=[True, False, True, True],
@@ -149,7 +148,10 @@ def test_search_fields_fused_matches_oracle(field_index):
 
     got = search_fields_fused(field_index, Q, weights, k=10).toPandas()
     assert got["conv_id"].tolist() == expect["conv_id"].tolist()
-    assert got["fused_score"].tolist() == expect["fused_score"].tolist()
+    # full precision both sides; tiny rel covers pandas-sum vs sorted-fold
+    # association differences
+    assert got["fused_score"].tolist() == pytest.approx(
+        expect["fused_score"].tolist(), rel=1e-12, abs=0.0)
     assert got["doc_id"].tolist() == expect["doc_id"].tolist()
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
     # fusion genuinely differs from max-only dedup: some fused score must

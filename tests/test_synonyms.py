@@ -15,15 +15,18 @@ from anisearch_model_spark.query.synonyms import search_synonyms
 
 def test_singleton_groups_reduce_to_plain_bm25(spark, index_dir):
     """With no synonym map every group is a singleton: tf_g = tf and
-    df_g = df, so ranks AND scores must equal the exhaustive scorer at
-    round-4 precision."""
+    df_g = df, so ranks AND scores must equal the exhaustive scorer —
+    ranks/ids exactly, scores to within a few ulps (the synonym path
+    computes idf with the JVM's log1p, the exhaustive kernel with C's;
+    measured gap ≤ 3 ulps, everything else is identical float64 ops)."""
     idx = IndexStore(spark, index_dir)
     q = "hero battle magic"
-    plain = [(r["rank"], r["doc_id"], round(r["score"], 4))
-             for r in topk_exhaustive(idx, q, k=20).collect()]
-    blended = [(r["rank"], r["doc_id"], r["score"])
-               for r in search_synonyms(idx, q, {}, k=20).collect()]
-    assert blended == plain
+    plain = topk_exhaustive(idx, q, k=20).collect()
+    blended = search_synonyms(idx, q, {}, k=20).collect()
+    assert [(r["rank"], r["doc_id"]) for r in blended] == [
+        (r["rank"], r["doc_id"]) for r in plain]
+    for b, p in zip(blended, plain):
+        assert b["score"] == pytest.approx(p["score"], rel=1e-12, abs=0.0)
 
 
 def test_variants_share_group_idf(spark, tmp_path):
@@ -87,14 +90,14 @@ def test_singleton_reduction_holds_under_tombstones(spark, index_dir,
     idx = IndexStore(spark, d)
     pre = topk_exhaustive(idx, "hero battle", k=3).collect()
     delete_docs(spark, d, [int(r["doc_id"]) for r in pre[:2]])
-    plain = [(r["rank"], r["doc_id"], round(r["score"], 4))
-             for r in topk_exhaustive(idx, "hero battle", k=10).collect()]
-    blended = [(r["rank"], r["doc_id"], r["score"])
-               for r in search_synonyms(idx, "hero battle", {},
-                                        k=10).collect()]
-    assert blended == plain and plain
+    plain = topk_exhaustive(idx, "hero battle", k=10).collect()
+    blended = search_synonyms(idx, "hero battle", {}, k=10).collect()
+    assert plain and [(r["rank"], r["doc_id"]) for r in blended] == [
+        (r["rank"], r["doc_id"]) for r in plain]
+    for bl, p in zip(blended, plain):
+        assert bl["score"] == pytest.approx(p["score"], rel=1e-12, abs=0.0)
     dead = {int(r["doc_id"]) for r in pre[:2]}
-    assert not ({d_ for _, d_, _s in blended} & dead)
+    assert not ({int(r["doc_id"]) for r in blended} & dead)
 
 
 def test_synonyms_serve_route(spark, index_dir):

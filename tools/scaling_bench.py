@@ -34,16 +34,25 @@ def child(cores: int, input_path: str, index_dir: str) -> None:
     sys.path.insert(0, REPO)
     from anisearch_model_spark.index.store import build_index
     from anisearch_model_spark.session import get_spark
+    from bench import _host_probe
 
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
                       shuffle_partitions=max(2 * cores, 16))
     tr = spark.read.parquet(input_path)
+    # probe INSIDE the child, bracketing the timed build: the host
+    # throttle oscillates on a minutes scale, so the parent's pre-launch
+    # probe can read healthy while the build itself runs throttled
+    # (round-5 forensics: pre-level probes 0.99/0.96 hid a mid-child 2x
+    # window that compressed the 2-vs-8 ratio to 0.637)
+    p0 = _host_probe()
     t0 = time.time()
     m = build_index(spark, tr, index_dir, num_buckets=NUM_BUCKETS)
     elapsed = time.time() - t0
+    p1 = _host_probe()
     print(json.dumps({"cores": cores, "elapsed": elapsed,
                       "turns_per_sec": m["n_docs"] / elapsed,
-                      "n_docs": m["n_docs"], "phases": m.get("phases", {})}))
+                      "n_docs": m["n_docs"], "phases": m.get("phases", {}),
+                      "probe_start": p0, "probe_end": p1}))
     spark.stop()
 
 
@@ -81,14 +90,17 @@ def _ceiling_task(args):
     return 1
 
 
-def mp_ceiling(n_turns: int) -> dict:
+def mp_ceiling(n_turns: int, levels: tuple[int, ...] = None) -> dict:
     """Hardware ceiling: the identical tokenize kernel under plain
-    multiprocessing (no Spark) at the same core levels."""
+    multiprocessing (no Spark) at the same core levels.  What THIS BOX
+    can scale at in the current window bounds what any engine running on
+    it can show — engine eff ≈ control eff means the engine adds no
+    scaling loss of its own."""
     import concurrent.futures
 
     per_task = max(1, n_turns // NUM_BUCKETS)
     out = {}
-    for procs in CORE_LEVELS:
+    for procs in levels or CORE_LEVELS:
         with concurrent.futures.ProcessPoolExecutor(procs) as ex:
             t0 = time.time()
             list(ex.map(_ceiling_task, [(per_task, s) for s in range(NUM_BUCKETS)]))
@@ -168,6 +180,10 @@ def main() -> None:
         "target": 0.8,
         "pass_2_to_8": (eff_2_8 or 0) >= 0.8,
         "host_probe_per_level": {str(c): probes[c] for c in CORE_LEVELS},
+        "child_probes": {str(c): [results[c].get("probe_start"),
+                                  results[c].get("probe_end")]
+                         for c in CORE_LEVELS},
+        "phases": {str(c): results[c].get("phases", {}) for c in CORE_LEVELS},
     }
     if 32 in CORE_LEVELS and 8 in CORE_LEVELS:
         summary["eff_8_to_32"] = round((tput[32] / tput[8]) / 4, 3)
@@ -175,6 +191,14 @@ def main() -> None:
         summary["mp_ceiling_tput"] = ceiling
         summary["mp_ceiling_eff_8_to_32"] = round(
             (ceiling[32] / ceiling[8]) / 4, 3)
+    elif "--control" in sys.argv and {2, 8} <= set(CORE_LEVELS):
+        # same-window hardware control for the north-rule pair: the
+        # no-Spark tokenize kernel at 2 and 8 procs, run immediately
+        # after the engine pair so it shares the throttle regime
+        ceiling = mp_ceiling(min(n_turns, 1_000_000), levels=(2, 8))
+        summary["mp_ceiling_tput"] = ceiling
+        summary["mp_ceiling_eff_2_to_8"] = round(
+            (ceiling[8] / ceiling[2]) / 4, 3)
     print(json.dumps(summary))
 
     if write_md:
