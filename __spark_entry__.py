@@ -853,6 +853,51 @@ def bm25_topk_live_docs(spark, sf_dir):
     )
 
 
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+dense retrieval (module path:
+    query/hybrid.py::rrf_fuse): BM25 top-20 through the REAL engine's
+    block-max scorer ∪ exact-cosine top-20 over the embeddings table,
+    fused by reciprocal-rank fusion rrf(d) = Σ 1/(60 + rank_l(d)) —
+    rank-only, so the unbounded BM25 scale and the [-1,1] cosine scale
+    need no normalization.  The oracle reproduces both candidate lists
+    in SQL (the same BM25 CTE the other bm25 entries prove, the same
+    cosine CTE sim_cosine_topk proves) and the same two-term fusion.
+    The reference retrieves dense-only (src/api.py:270-313); hybrid is
+    what a production deployment of it would run."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.operators.similarity import cosine_topk
+    from anisearch_model_spark.query.engine import IndexStore, search
+    from anisearch_model_spark.query.hybrid import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_hybrid_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    lex = search(idx, " ".join(_BM25_QUERY_TERMS), k=20).select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    dense = cosine_topk(emb, qvec, k=20).select(
+        "rank", F.col("vec_id").alias("doc_id"))
+    return rrf_fuse({"dense": dense, "lexical": lex}, k=10)
+
+
 _PHRASE = ("table", "part")  # ~35 matching docs at sf0.01, ptf up to 2
 
 
@@ -1671,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_refined": sim_ivf_refined,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_live_docs": bm25_topk_live_docs,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "phrase_topk_documents": phrase_topk_documents,
         "phrase_slop_topk_documents": phrase_slop_topk_documents,
         "bm25_prefix_topk": bm25_prefix_topk,
@@ -2978,6 +3024,55 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, round(s, 4)::double AS score
             FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM dead)
             ORDER BY rank LIMIT 10
+        """,
+        "hybrid_rrf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.doc_id),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+              FROM scored ORDER BY r LIMIT 20),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            flat AS (
+              SELECT e.vec_id, u.i,
+                     e.embedding[u.i]::double AS dv, qe[u.i]::double AS qv
+              FROM embeddings e, q,
+                   unnest(generate_series(1, len(e.embedding))) u(i)),
+            agg AS (
+              SELECT vec_id, sum(dv * qv) AS dot,
+                     sum(dv * dv) AS nd, sum(qv * qv) AS nq
+              FROM flat GROUP BY vec_id),
+            dense AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (
+                       ORDER BY round(dot / (sqrt(nd) * sqrt(nq)), 4) DESC,
+                                vec_id ASC) AS r
+              FROM agg ORDER BY r LIMIT 20),
+            fused AS (
+              SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + d.r), 0.0)
+                       + COALESCE(1.0 / (60 + l.r), 0.0) AS s
+              FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, s::double AS rrf_score
+            FROM fused ORDER BY rank LIMIT 10
         """,
         "phrase_topk_documents": f"""
             WITH tok_list AS (
