@@ -17,15 +17,26 @@ explicitly DETERMINISTIC range bucketing:
      runs; ours are a pure function of the data);
   2. boundaries = every (sample/num_buckets)-th sampled key, sorted on
      the driver (sample size ≈ 128·num_buckets keys — bounded);
-  3. bucket = #boundaries ≤ (conv_id, turn_idx)  — vectorized
-     searchsorted inside a pandas UDF against broadcast boundaries;
-  4. ONE hash shuffle on bucket co-locates each whole bucket;
-  5. per-partition: sort each bucket by (conv_id, turn_idx), add
-     offsets[bucket] (cumulative counts, from one cheap count pass).
+  3. bucket = #boundaries ≤ (conv_id, turn_idx) — for ≤ 512 boundaries
+     this is ONE whole-stage-codegen sum of comparisons (no Python
+     worker, no Arrow transfer of the text column); past that the plan
+     would bloat linearly, so a vectorized searchsorted pandas UDF takes
+     over with identical semantics;
+  4. per-bucket counts from a map-side partial aggregate over the two
+     KEY columns only (never a materialized shuffle of the corpus);
+  5. ONE hash shuffle on bucket co-locates each whole bucket, then
+     doc_id = offsets[bucket] + row_number() over (bucket | conv, turn)
+     — the window reuses the shuffle's clustering, adding only the sort.
 
-The assignment — and the bucket layout — depend only on the key ordering:
-identical across parallelism levels AND across re-runs, which is what
-makes resumable builds and local[8]-vs-local[32] rank identity possible.
+The assignment — and the bucket layout — depend only on the key ordering
+(Spark's binary UTF8 string order == Unicode code-point order for valid
+UTF-8): identical across parallelism levels AND across re-runs, which is
+what makes resumable builds and local[8]-vs-local[32] rank identity
+possible.  The input is scanned twice (counts pass, then the write pass)
+— both passes are pure column-pruned JVM scans, which beats the previous
+design's full-corpus persist + two Python/Arrow round-trips of every
+text row (the dominant per-core memory-bandwidth consumer at 8+ local
+cores).
 """
 
 from __future__ import annotations
@@ -34,8 +45,9 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DOC_MAP_SCHEMA = (
     "doc_id long, conv_id string, turn_idx int, role string, text string, "
@@ -45,6 +57,13 @@ DOC_MAP_SCHEMA = (
 BUCKETED_SCHEMA = DOC_MAP_SCHEMA + ", bucket int"
 
 _SAMPLE_PER_BUCKET = 128
+
+# above this many boundaries the codegen comparison-sum stops being sane
+# (plan literals grow linearly; same policy as similarity.py's
+# broadcast-matrix switch) and the searchsorted pandas UDF takes over
+_MAX_EXPR_BOUNDS = 512
+
+_INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _boundaries(transcripts: DataFrame, num_buckets: int) -> list[tuple[str, int]]:
@@ -66,9 +85,23 @@ def _boundaries(transcripts: DataFrame, num_buckets: int) -> list[tuple[str, int
     return [keys[int(i * step)] for i in range(1, num_buckets)]
 
 
+def _bucket_expr(bounds: list[tuple[str, int]]) -> Column:
+    """bucket = bisect_right(bounds, (conv_id, turn_idx)) as one
+    whole-stage-codegen expression: the count of boundaries ≤ the key."""
+    b: Column = F.lit(0)
+    for bc, bt in bounds:
+        le = (F.col("conv_id") > F.lit(bc)) | (
+            (F.col("conv_id") == F.lit(bc)) & (F.col("turn_idx") >= F.lit(bt))
+        )
+        b = b + le.cast("int")
+    return b.cast("int")
+
+
 def _bucket_of(conv: np.ndarray, turn: np.ndarray,
                bounds: list[tuple[str, int]]) -> np.ndarray:
-    """Vectorized bucket = bisect_right(bounds, (conv, turn)).
+    """Vectorized bucket = bisect_right(bounds, (conv, turn)) — the
+    large-bucket-count fallback kernel (identical semantics to
+    ``_bucket_expr``, O(log n) per row).
 
     The turn tie-break for rows whose conv EQUALS a boundary conv is one
     searchsorted per distinct colliding boundary conv (≤ num_buckets of
@@ -94,18 +127,14 @@ def _bucket_of(conv: np.ndarray, turn: np.ndarray,
     return out
 
 
-def bucketed_corpus(
-    transcripts: DataFrame, num_buckets: int
-) -> tuple[DataFrame, dict[int, int], dict[int, int]]:
-    """→ (cached bucketed+doc_id'd DataFrame, offsets, counts).
+def _with_bucket(df: DataFrame, bounds: list[tuple[str, int]],
+                 cols: list[str]) -> DataFrame:
+    """``cols`` + bucket; JVM expression when the boundary list is small
+    enough, vectorized pandas searchsorted beyond."""
+    spark = df.sparkSession
+    if len(bounds) <= _MAX_EXPR_BOUNDS:
+        return df.select(*cols).withColumn("bucket", _bucket_expr(bounds))
 
-    The returned DataFrame has BUCKETED_SCHEMA; every bucket's rows are
-    whole within one partition, sorted by (conv_id, turn_idx), with
-    doc_id = global rank.  PERSISTED — caller unpersists via
-    ``df._cached_parent``.
-    """
-    spark = transcripts.sparkSession
-    bounds = _boundaries(transcripts, num_buckets)
     bbounds = spark.sparkContext.broadcast(bounds)
 
     def add_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,19 +149,30 @@ def bucketed_corpus(
             )
             yield pdf
 
-    in_schema = (
-        "conv_id string, turn_idx int, role string, text string, "
-        "tool string, ts timestamp"
-    )
-    with_bucket = transcripts.select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    ).mapInPandas(add_bucket, schema=in_schema + ", bucket int")
+    in_schema = df.select(*cols).schema
+    out_schema = in_schema.add("bucket", "integer")
+    return df.select(*cols).mapInPandas(add_bucket, schema=out_schema)
 
-    shuffled = with_bucket.repartition(num_buckets, "bucket").persist()
 
+def bucketed_corpus(
+    transcripts: DataFrame, num_buckets: int
+) -> tuple[DataFrame, dict[int, int], dict[int, int]]:
+    """→ (bucketed+doc_id'd DataFrame, offsets, counts).
+
+    The returned DataFrame has BUCKETED_SCHEMA; every bucket's rows are
+    whole within one shuffle partition, sorted by (conv_id, turn_idx),
+    with doc_id = global rank.  NOT persisted — the plan is one
+    column-pruned scan + one shuffle; callers that consume it more than
+    once persist it themselves (``_cached_parent`` is set to None for
+    caller compatibility)."""
+    bounds = _boundaries(transcripts, num_buckets)
+
+    # per-bucket counts: map-side partial aggregate over the two key
+    # columns only — the corpus text never moves for the counting pass
     counts = {
         int(r["bucket"]): r["cnt"]
-        for r in shuffled.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        for r in _with_bucket(transcripts, bounds, ["conv_id", "turn_idx"])
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
     }
     for b in range(num_buckets):
         counts.setdefault(b, 0)
@@ -140,27 +180,23 @@ def bucketed_corpus(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    boffsets = spark.sparkContext.broadcast(offsets)
 
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # buffer the partition: buckets may interleave across Arrow batches
-        parts = [pdf for pdf in batches if not pdf.empty]
-        if not parts:
-            return
-        whole = pd.concat(parts, ignore_index=True)
-        whole = whole.sort_values(
-            ["bucket", "conv_id", "turn_idx"], kind="mergesort"
-        ).reset_index(drop=True)
-        local_rank = whole.groupby("bucket", sort=False).cumcount()
-        whole["doc_id"] = (
-            whole["bucket"].map(boffsets.value).astype("int64") + local_rank
+    omap = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])])
+    w = Window.partitionBy("bucket").orderBy("conv_id", "turn_idx")
+    with_ids = (
+        _with_bucket(transcripts, bounds, _INPUT_COLS)
+        # the window below requires clustering by bucket — this exchange
+        # satisfies it, so Catalyst adds only the per-partition sort
+        .repartition(num_buckets, "bucket")
+        .withColumn(
+            "doc_id",
+            (omap[F.col("bucket")].cast("long")
+             + F.row_number().over(w) - 1).cast("long"),
         )
-        yield whole[
-            ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "bucket"]
-        ]
-
-    with_ids = shuffled.mapInPandas(add_ids, schema=BUCKETED_SCHEMA)
-    with_ids._cached_parent = shuffled
+        .select("doc_id", *_INPUT_COLS, "bucket")
+    )
+    with_ids._cached_parent = None
     return with_ids, offsets, counts
 
 
@@ -176,5 +212,5 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int | None = None) ->
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
     with_ids, _offsets, _counts = bucketed_corpus(transcripts, num_partitions)
     out = with_ids.drop("bucket")
-    out._cached_parent = with_ids._cached_parent
+    out._cached_parent = None
     return out

@@ -249,7 +249,6 @@ def build_index(
         # resume prunes to missing bucket directories
         ranged.write.mode("overwrite").partitionBy("bucket").parquet(doc_map_path)
         tp = _mark("doc_map_write", tp)
-        ranged._cached_parent.unpersist()
         with open(manifest_path, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
     with open(manifest_path, encoding="utf-8") as f:

@@ -82,8 +82,10 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
     n_parts = max(1, math.ceil(n_new / avg_span))
 
     ranged, offsets, counts = bucketed_corpus(batch_df, n_parts)
-    cached_parent = ranged._cached_parent
-    ranged = ranged.withColumn("doc_id", F.col("doc_id") + F.lit(n_existing))
+    # consumed twice below (doc_map write + posting build) — persist so
+    # the bucket/shuffle/window work runs once per batch
+    ranged = ranged.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n_existing)).persist()
     # doc_map is bucket-partitioned: appended rows MUST land in new
     # bucket=N/ directories (offset ids), not as root-level files that
     # partition discovery would drop
@@ -117,7 +119,7 @@ def _append_batch(spark: SparkSession, batch_df, index_dir: str,
         spark, index_dir, n_existing + n_new, params,
         num_buckets=len(buckets), field_col=field_col, codec=codec,
     )
-    cached_parent.unpersist()
+    ranged.unpersist()
 
 
 def incremental_append(spark: SparkSession, stream_dir: str, index_dir: str,
