@@ -253,3 +253,32 @@ def test_synonym_search_plan_prunes_members_and_takes_ordered(spark, index_dir):
     assert has_pushed_filter(raw, "term")
     out = search_synonyms(idx, "hero", {"hero": ["battle"]}, k=5)
     assert takes_ordered_and_project(out)
+
+
+def test_bucketed_corpus_is_pure_jvm_single_exchange(spark):
+    """Doc-id assignment (index/docmap.py) must stay JVM-only: one
+    Exchange (the bucket co-location shuffle the window reuses), one
+    Window, ZERO Python/Arrow operators — the text column crossing the
+    Arrow boundary twice per build was the dominant per-core bandwidth
+    cost of the old design, and a reappearing ArrowEvalPython/MapInPandas
+    node here is that regression."""
+    from anisearch_model_spark.index.docmap import bucketed_corpus
+    from anisearch_model_spark.plans.inspect import exchange_count
+
+    tr = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.format_string("c-%06d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("doc").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df, _offsets, counts = bucketed_corpus(tr, 8)
+    assert sum(counts.values()) == tr.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(df) == 1
+    assert "Window" in plan
+    assert "Python" not in plan and "Arrow" not in plan
