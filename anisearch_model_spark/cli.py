@@ -142,7 +142,10 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
     "mlt": <doc_id>, "m": 5, "fused_fields": {"user": 1.0},
     "bm25f_fields": {"user": 1.0}, "synonyms": {"join": ["merge"]},
     "explain": <doc_id>, "spell": "querry text",
-    "suggest": "prefix", "count": false}`` — one JSON
+    "suggest": "prefix", "count": false,
+    "hybrid": {"embeddings": <parquet>, "vec_id": 0, "rrf_k": 60}}`` —
+    (``hybrid`` RRF-fuses the BM25 top-N with the cosine top-N over the
+    given embeddings table, dense anchor = the vec_id row) — one JSON
     response line each (``facets`` histograms the full match set over a
     doc_map column, ``mlt`` runs more-like-this from a source doc id —
     no ``query`` key needed, ``fused_fields`` scores conversations by
@@ -256,12 +259,28 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
             fused = req.get("fused_fields")
             if fused is not None:
                 fused = _coerce_weight_map(fused, "fused_fields")
+            hybrid = req.get("hybrid")
+            if hybrid is not None:
+                if "query" not in req:
+                    raise ValueError("'hybrid' needs a 'query' for the "
+                                     "lexical side")
+                if (not isinstance(hybrid, dict) or "embeddings" not in hybrid
+                        or "vec_id" not in hybrid):
+                    raise ValueError(
+                        "'hybrid' must be {'embeddings': <parquet path>, "
+                        "'vec_id': N[, 'rrf_k': 60]}")
+                if snippets or fields is not None or req.get("conversations"):
+                    raise ValueError("'hybrid' applies to plain term "
+                                     "queries only")
+                hybrid = {"embeddings": str(hybrid["embeddings"]),
+                          "vec_id": int(hybrid["vec_id"]),
+                          "rrf_k": int(hybrid.get("rrf_k", 60))}
             boosts = req.get("boosts")
             if boosts is not None:
                 boosts = _coerce_weight_map(boosts, "boosts")
                 special = [phrase, boolean, snippets, fields,
                            req.get("conversations"), facets, mlt, suggest,
-                           spell, fused, bm25f, syns, explain,
+                           spell, fused, bm25f, syns, explain, hybrid,
                            req.get("count")]
                 if any(x for x in special):
                     raise ValueError("'boosts' applies to plain term "
@@ -276,7 +295,8 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                          ("bm25f_fields", bm25f is not None),
                                          ("explain", explain is not None),
                                          ("synonyms", syns is not None),
-                                         ("spell", spell is not None)]
+                                         ("spell", spell is not None),
+                                         ("hybrid", hybrid is not None)]
                          if on]
             if len(exclusive) > 1:
                 raise ValueError(f"mutually exclusive routes: {exclusive}")
@@ -317,6 +337,22 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return facet_counts(idx, req["query"], facet_col=facets,
                                     field=role).collect()
+            if hybrid is not None:
+                from pyspark.sql import functions as SF
+
+                from anisearch_model_spark.query.hybrid import hybrid_search
+
+                emb = spark.read.parquet(hybrid["embeddings"])
+                row = emb.filter(
+                    SF.col("vec_id") == hybrid["vec_id"]).head()
+                if row is None:
+                    raise ValueError(
+                        f"vec_id {hybrid['vec_id']} not found in "
+                        f"{hybrid['embeddings']}")
+                return hybrid_search(
+                    idx, req["query"], emb,
+                    [float(x) for x in row["embedding"]],
+                    k=k, rrf_k=hybrid["rrf_k"]).collect()
             if syns is not None:
                 from anisearch_model_spark.query.synonyms import (
                     search_synonyms)
@@ -514,6 +550,16 @@ def main(argv: list[str] | None = None) -> int:
                         "weighted tf across a conversation's turns FIRST, "
                         "saturate once, score with entity-level idf "
                         "(Robertson CIKM'04; e.g. user:1.0,assistant:0.5)")
+    s.add_argument("--hybrid-embeddings", default=None, metavar="PARQUET",
+                   help="hybrid retrieval: RRF-fuse the BM25 top-N with "
+                        "the cosine top-N over this (vec_id, embedding) "
+                        "parquet table; needs --vec-id")
+    s.add_argument("--vec-id", type=int, default=None,
+                   help="with --hybrid-embeddings: vec_id whose embedding "
+                        "is the dense query vector")
+    s.add_argument("--rrf-k", type=int, default=60,
+                   help="with --hybrid-embeddings: RRF rank constant "
+                        "(Cormack et al.: 60)")
     s.add_argument("--log", action="store_true",
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
@@ -702,6 +748,24 @@ def main(argv: list[str] | None = None) -> int:
                 out = search_bm25f(
                     idx, args.query, _parse_weight_map(args.bm25f_fields),
                     k=args.k, page=args.page)
+            elif args.hybrid_embeddings:
+                from pyspark.sql import functions as SF
+
+                from anisearch_model_spark.query.hybrid import hybrid_search
+
+                if args.vec_id is None:
+                    raise SystemExit(
+                        "--hybrid-embeddings requires --vec-id")
+                emb = spark.read.parquet(args.hybrid_embeddings)
+                row = emb.filter(SF.col("vec_id") == args.vec_id).head()
+                if row is None:
+                    raise SystemExit(
+                        f"vec_id {args.vec_id} not found in "
+                        f"{args.hybrid_embeddings}")
+                out = hybrid_search(
+                    idx, args.query, emb,
+                    [float(x) for x in row["embedding"]],
+                    k=args.k, rrf_k=args.rrf_k)
             elif args.phrase:
                 from anisearch_model_spark.query.phrase import phrase_search
 

@@ -78,3 +78,42 @@ def test_hybrid_search_end_to_end(spark, index_dir):
     # top_doc is rank 1 in BOTH lists → rrf 2/61, unbeatable
     assert int(out[0]["doc_id"]) == top_doc
     assert out[0]["rrf_score"] == pytest.approx(2 / 61, rel=1e-12)
+
+
+def test_hybrid_serve_route(spark, index_dir, tmp_path):
+    import io
+    import json
+
+    from anisearch_model_spark.cli import serve_loop
+
+    emb_path = str(tmp_path / "emb.parquet")
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(3000)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(emb_path)
+
+    reqs = "\n".join([
+        json.dumps({"query": "hero battle", "k": 3,
+                    "hybrid": {"embeddings": emb_path, "vec_id": 0}}),
+        json.dumps({"hybrid": {"embeddings": emb_path, "vec_id": 0}}),
+        json.dumps({"query": "x", "hybrid": {"vec_id": 0}}),
+        json.dumps({"query": "x", "hybrid": {"embeddings": emb_path,
+                                             "vec_id": 0}, "mlt": 1}),
+        json.dumps({"query": "x", "snippets": True,
+                    "hybrid": {"embeddings": emb_path, "vec_id": 0}}),
+        json.dumps({"query": "hero", "k": 2,
+                    "hybrid": {"embeddings": emb_path,
+                               "vec_id": 999999}}),
+    ]) + "\n"
+    out = io.StringIO()
+    served = serve_loop(spark, index_dir, io.StringIO(reqs), out, log=False)
+    lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert served == 6
+    assert len(lines[0]["results"]) == 3
+    assert {"rank", "doc_id", "rrf_score"} <= set(lines[0]["results"][0])
+    assert "error" in lines[1]  # no query
+    assert "error" in lines[2]  # missing embeddings key
+    assert "error" in lines[3] and "mutually exclusive" in lines[3]["error"]
+    assert "error" in lines[4] and "plain term" in lines[4]["error"]
+    assert "error" in lines[5] and "not found" in lines[5]["error"]
