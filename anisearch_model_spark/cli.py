@@ -444,7 +444,9 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                 ("fused" if fused is not None else
                                  ("phrase" if phrase else
                                   ("boolean" if boolean else
-                                   ("bmw" if pruned else "exhaustive")))))))))),
+                                   ("hybrid" if hybrid is not None else
+                                    ("bmw" if pruned else
+                                     "exhaustive"))))))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -816,7 +818,9 @@ def main(argv: list[str] | None = None) -> int:
                                  ("fused" if args.fused_fields else
                                   ("phrase" if args.phrase else
                                    ("boolean" if args.boolean else
-                                    ("bmw" if pruned else "exhaustive")))))),
+                                    ("hybrid" if args.hybrid_embeddings else
+                                     ("bmw" if pruned else
+                                      "exhaustive"))))))),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]
