@@ -364,3 +364,46 @@ def test_slop_zero_same_as_exact(pos_index, oracle):
 def test_slop_negative_rejected(pos_index):
     with pytest.raises(ValueError):
         phrase_topk(pos_index, "alpha beta", slop=-1).count()
+
+
+def test_purge_invalidates_positions_and_resync_drops_purged_doc(
+        spark, tmp_path):
+    """The full delete lifecycle through PHRASE search: tombstoned docs
+    are filtered immediately; a physical purge remaps the affected
+    bucket ids, so the positions snapshot goes stale and phrase search
+    REFUSES to run (a purged doc must never resurface once the
+    tombstones are cleared); build_positions re-syncs and the purged doc
+    is gone from the phrase results."""
+    from anisearch_model_spark.datagen import gen_transcripts
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.index.tombstones import (
+        delete_docs,
+        purge_deleted,
+    )
+
+    d = str(tmp_path / "idx")
+    tr = gen_transcripts(spark, 400, seed=11)
+    build_index(spark, tr, d, num_buckets=8)
+    build_positions(spark, d)
+    idx = IndexStore(spark, d)
+    phrase = _first_bigram(idx)
+    pre = phrase_topk(idx, phrase, k=5).toPandas()
+    assert len(pre)
+    dead = int(pre["doc_id"].iloc[0])
+    delete_docs(spark, d, [dead])
+    # tombstone filter: excluded immediately, positions still valid
+    mid = phrase_topk(idx, phrase, k=5).toPandas()
+    assert dead not in set(mid["doc_id"])
+    res = purge_deleted(spark, d)
+    assert res["purged_docs"] == 1 and res["buckets_rewritten"] >= 1
+    ok, reason = positions_ready(d)
+    assert not ok and "stale" in reason
+    with pytest.raises(ValueError, match="stale"):
+        phrase_match(idx, phrase)
+    build_positions(spark, d)
+    idx2 = IndexStore(spark, d)
+    post = phrase_topk(idx2, phrase, k=5).toPandas()
+    assert dead not in set(post["doc_id"])
+    # survivors keep their relative order from the tombstone-filtered run
+    assert post["doc_id"].tolist()[:len(mid)] == mid["doc_id"].tolist()[
+        :len(post)]
