@@ -128,8 +128,13 @@ def main() -> None:
             log(f"resuming: suite already accepted ({suite['value']}s)")
     while time.time() < t_end and (suite is None or scaling is None):
         p = probe()
-        if p >= THRESHOLD:
-            log(f"probe {p}s ≥ {THRESHOLD} — waiting")
+        # while the suite is pending, gate on its (strict) threshold;
+        # once only scaling remains, gate on the scaling threshold — the
+        # control-bounded acceptance makes mild-window attempts valid
+        gate = THRESHOLD if suite is None else max(THRESHOLD,
+                                                   SCALING_THRESHOLD)
+        if p >= gate:
+            log(f"probe {p}s ≥ {gate} — waiting")
             time.sleep(POLL_SEC)
             continue
         if suite is None:
