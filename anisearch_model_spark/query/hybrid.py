@@ -80,29 +80,38 @@ def rrf_fuse(
 def hybrid_search(
     index,
     query_text: str,
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query_vec: list[float],
     k: int = 10,
     n_candidates: int = 50,
     rrf_k: int = 60,
     lexical_weight: float = 1.0,
     dense_weight: float = 1.0,
+    dense_topk_fn=None,
 ) -> DataFrame:
     """BM25 top-N ∪ cosine top-N → RRF top-k over a REAL index.
 
     The lexical list comes from the engine's default (block-max)
-    scorer; the dense list from the exact cosine operator — swap in
-    ``ann_query`` / IVF for the bucketed scale path, the fusion is
-    rank-only and doesn't care.  ``embeddings`` must carry
-    (doc_id-aligned ``vec_id``, ``embedding``).
+    scorer; the dense list from the exact cosine operator by default —
+    the fusion is rank-only, so the dense side swaps freely for the
+    bucketed scale paths: pass ``dense_topk_fn(query_vec, n) ->
+    (rank, vec_id, ...)`` built on ``RandomHyperplaneLSH.query_index``
+    or ``IVFIndex.query_index`` (operators/similarity.py) and leave
+    ``embeddings`` as None.  At 100 TB the exact path scans every
+    vector; the ANN paths prune to candidate-bucket partition files.
+    ``embeddings`` must carry (doc_id-aligned ``vec_id``,
+    ``embedding``).
     """
     from anisearch_model_spark.operators.similarity import cosine_topk
     from anisearch_model_spark.query.engine import search
 
     lex = search(index, query_text, k=n_candidates,
                  with_metadata=False).select("rank", "doc_id")
-    dense = cosine_topk(embeddings, query_vec, k=n_candidates).select(
-        "rank", F.col("vec_id").alias("doc_id"))
+    if dense_topk_fn is not None:
+        dense_raw = dense_topk_fn(query_vec, n_candidates)
+    else:
+        dense_raw = cosine_topk(embeddings, query_vec, k=n_candidates)
+    dense = dense_raw.select("rank", F.col("vec_id").alias("doc_id"))
     return rrf_fuse(
         {"lexical": lex, "dense": dense}, k=k, rrf_k=rrf_k,
         weights={"lexical": lexical_weight, "dense": dense_weight},

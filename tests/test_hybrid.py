@@ -117,3 +117,32 @@ def test_hybrid_serve_route(spark, index_dir, tmp_path):
     assert "error" in lines[3] and "mutually exclusive" in lines[3]["error"]
     assert "error" in lines[4] and "plain term" in lines[4]["error"]
     assert "error" in lines[5] and "not found" in lines[5]["error"]
+
+
+def test_hybrid_search_with_ann_dense_path(spark, index_dir, tmp_path):
+    """The dense side swaps for the bucketed ANN path (scale path): an
+    LSH-materialized index feeds hybrid_search via dense_topk_fn, the
+    anchor doc still fuses to rank 1, and the candidate scan prunes to
+    bucket partitions (no full-corpus cosine)."""
+    from anisearch_model_spark.operators.similarity import (
+        RandomHyperplaneLSH,
+    )
+
+    idx = IndexStore(spark, index_dir)
+    q = "hero battle"
+    lex = search(idx, q, k=10, with_metadata=False).collect()
+    top_doc = int(lex[0]["doc_id"])
+    rng = np.random.RandomState(11)
+    qvec = rng.randn(8)
+    rows = [(i, [float(x) for x in (qvec if i == top_doc else rng.randn(8))])
+            for i in range(3000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = RandomHyperplaneLSH(n_planes=6, dim=8, seed=4)
+    path = str(tmp_path / "lsh_idx")
+    lsh.fit(emb, path)
+    out = hybrid_search(
+        idx, q, None, [float(x) for x in qvec], k=5, n_candidates=10,
+        dense_topk_fn=lambda v, n: lsh.query_index(spark, path, v, k=n),
+    ).collect()
+    assert int(out[0]["doc_id"]) == top_doc
+    assert out[0]["rrf_score"] == pytest.approx(2 / 61, rel=1e-12)
