@@ -1661,6 +1661,74 @@ def mix_token_budget(spark, sf_dir):
     )
 
 
+_EVAL_QUERY_TERMS = [(1, "spark"), (1, "join"), (2, "window"), (3, "join"), (3, "window")]
+
+
+def eval_ir_metrics(spark, sf_dir):
+    """Distributed IR evaluation (operators/evaluation.py::
+    relevance_metrics): NDCG@10 / MRR@10 / precision@10 / recall@10 for
+    three multi-term BM25 queries in ONE pass.
+
+    Results = per-query BM25 top-10 (the bm25_topk_documents
+    formulation generalized to a broadcast (query_id, token) join —
+    one scored relation serves all queries).  Qrels = conjunctive
+    relevance: a doc is relevant to a query iff it contains ALL the
+    query's terms, graded by matched-term count.  Scoring, relevance
+    rule, and metric arithmetic are mirrored 1:1 in the DuckDB oracle.
+    Replaces the reference's driver-side per-query eval loop
+    (/root/reference/src/test.py:221-274) with a distributed program
+    that evaluates millions of queries the same way it evaluates three.
+    """
+    from anisearch_model_spark.operators.evaluation import relevance_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_EVAL_QUERY_TERMS, "query_id long, token string")
+    qsize = qdf.groupBy("query_id").agg(F.count("*").alias("qsize"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter((F.length("token") > 0) & ~F.col("token").isin(_SQL_STOPWORDS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    tf2 = tf.withColumn("dl", F.sum("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_tok)
+    )
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    scored = (
+        tf2.join(F.broadcast(qdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * F.col("tf") * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pscore").alias("s"), F.countDistinct("token").alias("matched"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round("s", 4).desc(), F.asc("doc_id")
+    )
+    results = (
+        scored.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = (
+        scored.join(F.broadcast(qsize), "query_id")
+        .filter(F.col("matched") == F.col("qsize"))
+        .select("query_id", "doc_id", F.col("matched").cast("long").alias("grade"))
+    )
+    return relevance_metrics(results, qrels, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 top-10 documents."""
     return bm25_topk_documents(spark, "/root/testdata/sf0.001")
@@ -1733,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosted_topk": bm25_boosted_topk,
         "sample_stratified": sample_stratified,
         "mix_token_budget": mix_token_budget,
+        "eval_ir_metrics": eval_ir_metrics,
         "multimodal_features": multimodal_features,
     }
 
@@ -2733,6 +2802,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored ORDER BY rank LIMIT 10
+        """,
+        "eval_ir_metrics": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            queries(query_id, token) AS (VALUES
+              (1, 'spark'), (1, 'join'), (2, 'window'),
+              (3, 'join'), (3, 'window')),
+            qsize AS (SELECT query_id, count(*) AS qsize FROM queries GROUP BY 1),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))) AS s,
+                     count(DISTINCT tf.token) AS matched
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id)
+                   JOIN queries q ON tf.token = q.token, stats
+              GROUP BY 1, 2),
+            results AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+              FROM scored QUALIFY rank <= 10),
+            qrels AS (
+              SELECT s.query_id, s.doc_id, s.matched AS grade
+              FROM scored s JOIN qsize USING (query_id)
+              WHERE s.matched = qsize),
+            hits AS (
+              SELECT r.query_id, r.rank, coalesce(q2.grade, 0) AS grade
+              FROM results r LEFT JOIN qrels q2
+                   ON r.query_id = q2.query_id AND r.doc_id = q2.doc_id),
+            ragg AS (
+              SELECT query_id,
+                     sum((pow(2, grade) - 1) / log2(rank + 1)) AS dcg,
+                     max(CASE WHEN grade > 0 THEN 1.0 / rank ELSE 0 END) AS rr,
+                     sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits_k
+              FROM hits GROUP BY 1),
+            ideal AS (
+              SELECT query_id, grade,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY grade DESC, doc_id ASC) AS irank
+              FROM qrels),
+            iagg AS (
+              SELECT query_id,
+                     sum(CASE WHEN irank <= 10
+                         THEN (pow(2, grade) - 1) / log2(irank + 1) END) AS idcg,
+                     count(*) AS rel_total
+              FROM ideal GROUP BY 1)
+            SELECT r.query_id::bigint AS query_id,
+                   round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4)::double AS ndcg,
+                   round(rr, 4)::double AS mrr,
+                   round(hits_k / 10.0, 4)::double AS precision_k,
+                   round(coalesce(hits_k / (rel_total * 1.0), 0), 4)::double AS recall_k
+            FROM ragg r LEFT JOIN iagg USING (query_id)
+            ORDER BY query_id
         """,
         "bm25_facets": f"""
             WITH toks AS (
