@@ -853,6 +853,49 @@ def bm25_topk_live_docs(spark, sf_dir):
     )
 
 
+def bm25_filtered_topk(spark, sf_dir):
+    """Metadata-filtered BM25 (query/filtered.py::search_filtered — the
+    Lucene FILTER-occur analog of the reference's dataset_type routing,
+    which scopes every request to the anime or manga sub-corpus,
+    src/api.py:355-392 and the per-type routes at :543): build a REAL
+    index over documents with lang carried as the doc_map role column,
+    then rank ONLY lang='en' docs through the block-max scorer's
+    broadcast admission mask.  Scores stay FULL-corpus (idf/avgdl/df
+    unchanged — a filter restricts candidates, never rescales), so the
+    oracle computes the unfiltered BM25 CTE and applies the lang
+    predicate only at candidate selection.  The broad semi-join branch
+    of the same operator is pytest-forced rank-identical
+    (tests/test_filtered.py)."""
+    import hashlib
+    import shutil
+
+    from anisearch_model_spark.index.store import build_index
+    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.filtered import search_filtered
+
+    d = _t(spark, sf_dir, "documents")
+    tr = d.select(
+        F.format_string("doc-%010d", F.col("doc_id").cast("long")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.col("text").alias("text"),
+        F.col("source").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    idx_dir = f"/tmp/asms_filtered_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, tr, idx_dir, num_buckets=4)
+    idx = IndexStore(spark, idx_dir)
+    out = search_filtered(idx, " ".join(_BM25_QUERY_TERMS), "role = 'en'",
+                          k=10)
+    return out.select(
+        "rank",
+        F.regexp_replace("conv_id", "^doc-", "").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def hybrid_rrf_topk(spark, sf_dir):
     """Hybrid lexical+dense retrieval (module path:
     query/hybrid.py::rrf_fuse): BM25 top-20 through the REAL engine's
@@ -1784,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_refined": sim_ivf_refined,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_live_docs": bm25_topk_live_docs,
+        "bm25_filtered_topk": bm25_filtered_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "phrase_topk_documents": phrase_topk_documents,
         "phrase_slop_topk_documents": phrase_slop_topk_documents,
@@ -3154,6 +3198,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
                    doc_id, round(s, 4)::double AS score
             FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+            ORDER BY rank LIMIT 10
+        """,
+        "bm25_filtered_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, t.token
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0 AND x NOT IN {sw})) AS t(token)),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            ndf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * ({_K1} + 1)
+                         / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))
+                         ORDER BY token) AS s
+              FROM tf JOIN ndf USING (token) JOIN dl USING (doc_id), stats
+              WHERE token IN ('spark', 'join', 'window')
+              GROUP BY tf.doc_id)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::bigint AS rank,
+                   doc_id, round(s, 4)::double AS score
+            FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
             ORDER BY rank LIMIT 10
         """,
         "hybrid_rrf_topk": f"""

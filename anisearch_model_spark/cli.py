@@ -275,16 +275,27 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                 hybrid = {"embeddings": str(hybrid["embeddings"]),
                           "vec_id": int(hybrid["vec_id"]),
                           "rrf_k": int(hybrid.get("rrf_k", 60))}
+            where = req.get("where")
+            if where is not None:
+                if not isinstance(where, str) or not where.strip():
+                    raise ValueError("'where' must be a SQL boolean "
+                                     "expression over doc_map columns "
+                                     "(conv_id, turn_idx, role, text, "
+                                     "tool, ts)")
+                if "query" not in req:
+                    raise ValueError("'where' filters a term search — a "
+                                     "'query' is required")
             boosts = req.get("boosts")
             if boosts is not None:
                 boosts = _coerce_weight_map(boosts, "boosts")
+            if boosts is not None or where is not None:
                 special = [phrase, boolean, snippets, fields,
                            req.get("conversations"), facets, mlt, suggest,
                            spell, fused, bm25f, syns, explain, hybrid,
                            req.get("count")]
                 if any(x for x in special):
-                    raise ValueError("'boosts' applies to plain term "
-                                     "search only")
+                    raise ValueError("'boosts'/'where' apply to plain "
+                                     "term search only")
             exclusive = [n for n, on in [("phrase", phrase),
                                          ("boolean", boolean),
                                          ("facets", facets is not None),
@@ -398,6 +409,13 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
 
                 return search_snippets(idx, req["query"], k=k, page=page,
                                        field=role, pruned=pruned).collect()
+            if where is not None:
+                from anisearch_model_spark.query.filtered import (
+                    search_filtered)
+
+                return search_filtered(idx, req["query"], where, k=k,
+                                       page=page, field=role,
+                                       pruned=pruned).collect()
             return search(idx, req["query"], k=k, page=page, role=role,
                           pruned=pruned, boosts=boosts).collect()
 
@@ -445,8 +463,9 @@ def serve_loop(spark, index_dir: str, in_stream, out_stream,
                                  ("phrase" if phrase else
                                   ("boolean" if boolean else
                                    ("hybrid" if hybrid is not None else
-                                    ("bmw" if pruned else
-                                     "exhaustive"))))))))))),
+                                    ("filtered" if where is not None else
+                                     ("bmw" if pruned else
+                                      "exhaustive")))))))))))),
                     n_results=len(rows),
                     res_hash=result_hash(
                         [(r["rank"], r["doc_id"], r["score"]) for r in rows]
@@ -562,6 +581,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--rrf-k", type=int, default=60,
                    help="with --hybrid-embeddings: RRF rank constant "
                         "(Cormack et al.: 60)")
+    s.add_argument("--where", default=None, metavar="SQL",
+                   help="metadata filter clause (Lucene FILTER occur): "
+                        "rank only docs whose doc_map row satisfies this "
+                        "SQL boolean expression (columns conv_id, "
+                        "turn_idx, role, text, tool, ts); scores stay "
+                        "full-corpus BM25 — the filter never rescales")
     s.add_argument("--log", action="store_true",
                    help="append a per-query evaluation record to "
                         "<index>/query_log (opt-in: plain search stays a "
@@ -795,6 +820,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.conversations:
                 out = search_conversations(idx, args.query, k=args.k,
                                            page=args.page, pruned=pruned)
+            elif args.where:
+                from anisearch_model_spark.query.filtered import (
+                    search_filtered)
+
+                out = search_filtered(idx, args.query, args.where,
+                                      k=args.k, page=args.page,
+                                      field=args.role, pruned=pruned)
             else:
                 out = search(idx, args.query, k=args.k, pruned=pruned,
                              page=args.page, role=args.role,
@@ -819,8 +851,9 @@ def main(argv: list[str] | None = None) -> int:
                                   ("phrase" if args.phrase else
                                    ("boolean" if args.boolean else
                                     ("hybrid" if args.hybrid_embeddings else
-                                     ("bmw" if pruned else
-                                      "exhaustive"))))))),
+                                     ("filtered" if args.where else
+                                      ("bmw" if pruned else
+                                       "exhaustive")))))))),
                         n_results=len(rows),
                         res_hash=result_hash(
                             [(r["rank"], r["doc_id"], r["score"]) for r in rows]

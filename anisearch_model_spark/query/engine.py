@@ -635,7 +635,8 @@ def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
 def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
              params: BM25Params | None = None, decode_counter=None,
              field: str | None = None,
-             boosts: dict[str, float] | None = None) -> DataFrame:
+             boosts: dict[str, float] | None = None,
+             allow: "np.ndarray | None" = None) -> DataFrame:
     """Block-max pruned top-k. Identical output to ``topk_exhaustive``.
 
     Per bucket (doc-range shard): compute per-block BM25 upper bounds from
@@ -658,6 +659,15 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
 
     ``decode_counter``: optional Spark accumulator incremented once per
     block actually decoded (test/bench observability).
+
+    ``allow``: optional sorted int64 array of ADMISSIBLE doc ids — the
+    selective branch of metadata-filtered search (query/filtered.py).
+    Like the tombstone mask it applies during segment admission (a
+    filtered-out doc must never occupy a heap slot a live candidate
+    needed); unlike tombstones it is inclusive.  The block/segment upper
+    bounds ignore it — they stay valid upper bounds, pruning just gets
+    less tight.  Scores keep FULL-corpus stats (Lucene filter-clause
+    contract: a filter restricts candidates, never rescales scores).
     """
     params = params or BM25Params()
     spark = index.spark
@@ -665,6 +675,10 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not idf:
         return empty
+    ballow = (
+        spark.sparkContext.broadcast(np.unique(np.asarray(allow, "int64")))
+        if allow is not None else None
+    )
     if boosts:
         # boost scales a term's WHOLE contribution; the per-block upper
         # bounds below derive from this idf map, so the scaled map keeps
@@ -764,6 +778,14 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
                 z = int(np.searchsorted(td, s_hi))
                 if a < z:
                     hit[td[a:z] - s_lo] = False  # tombstoned: never admit
+            if ballow is not None:
+                ad = ballow.value
+                a = int(np.searchsorted(ad, s_lo))
+                z = int(np.searchsorted(ad, s_hi))
+                keep = np.zeros(seg, dtype=bool)
+                if a < z:
+                    keep[ad[a:z] - s_lo] = True
+                hit &= keep  # outside the filter: never admit
             # vectorized admission: of the segment's hit docs only ≤k can
             # enter the heap, so select the k best BY SCORE first (keeping
             # every doc tied with the kth score — the (score, -doc_id)

@@ -1,0 +1,107 @@
+"""Metadata-filtered search — the Lucene filter-clause analog.
+
+The reference restricts every query to a metadata-selected sub-corpus
+before scoring (``dataset_type`` routes each request to the anime or the
+manga corpus, ``/root/reference/src/api.py:355-392`` and the per-type
+routes at ``:543``); the general form of that contract is a FILTER
+CLAUSE: rank by BM25 but admit only documents whose doc_map row
+satisfies a metadata predicate.  Filter semantics follow Lucene's
+``FILTER`` occur: the predicate restricts the candidate set and NEVER
+rescales scores — idf/avgdl/df stay full-corpus, so a doc's score is
+identical with and without the filter (tested).
+
+Two physical strategies, chosen by measured selectivity, both exact:
+
+- **selective** (≤ ``max_mask_ids`` matching docs): collect the matching
+  doc ids once (bounded driver transfer), broadcast them as a sorted
+  int64 array, and let the block-max scorer mask admission per segment —
+  the same O(log n) ``searchsorted`` discipline as the tombstone mask,
+  inclusive instead of exclusive.  The postings scan still term-IN
+  prunes; pruning bounds stay valid (they ignore the mask).
+- **broad** (more matches than the mask bound, or ``pruned=False``):
+  score the full match set (``score_matches`` — cost ∝ query-term
+  posting volume) and LEFT SEMI join it against the filtered doc_map
+  scan on doc_id.  The predicate pushes down into the doc_map parquet
+  scan; the join keys on doc_id, the same key the score fold already
+  shuffled on.  No driver transfer, no broadcast — the 100 TB path for
+  low-selectivity filters ("everything after 2024").
+
+The strategy probe itself is bounded: ``LIMIT max_mask_ids + 1`` — it
+never collects more than the mask budget + 1 rows, whatever the filter
+matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anisearch_model_spark.config import BM25Params, MAX_QUERY_CHARS
+from anisearch_model_spark.functions.windows import constant_partition
+from anisearch_model_spark.query.engine import (
+    IndexStore,
+    probe_doc_map,
+    score_matches,
+    topk_bmw,
+)
+
+
+def allowed_docs(index: IndexStore, where: str) -> DataFrame:
+    """(doc_id) rows of the doc_map satisfying ``where`` (a SQL boolean
+    expression over doc_map columns: conv_id, turn_idx, role, text,
+    tool, ts).  The predicate reaches the parquet scan as a pushed
+    filter for the simple comparisons that dominate metadata filters."""
+    if len(where) > MAX_QUERY_CHARS:
+        raise ValueError(f"filter predicate exceeds {MAX_QUERY_CHARS} chars")
+    return index.doc_map.filter(F.expr(where)).select("doc_id")
+
+
+def search_filtered(index: IndexStore, query_text: str, where: str,
+                    k: int = 10, page: int = 1,
+                    params: BM25Params | None = None,
+                    field: str | None = None, pruned: bool = True,
+                    with_metadata: bool = True,
+                    max_mask_ids: int = 100_000) -> DataFrame:
+    """BM25 top-k over the sub-corpus where ``where`` holds.
+
+    Same output contract as ``engine.search`` (rank, doc_id, metadata,
+    score; rank recomputed over the filtered candidate set, pagination
+    by re-ranked pages).  The pruned and broad strategies return
+    IDENTICAL rows — tests force each and compare.
+    """
+    params = params or BM25Params()
+    spark = index.spark
+    allowed = allowed_docs(index, where)
+    cand_k = k * page
+    # bounded strategy probe: ≤ mask-budget+1 ids ever reach the driver
+    ids = [r[0] for r in allowed.limit(max_mask_ids + 1).collect()]
+    if not ids:
+        top = spark.createDataFrame(
+            [], "rank long, doc_id long, score double")
+    elif pruned and len(ids) <= max_mask_ids:
+        top = topk_bmw(index, query_text, cand_k, params, field=field,
+                       allow=np.asarray(ids, dtype="int64"))
+    else:
+        scored = score_matches(index, query_text, params, field=field)
+        scored = scored.join(allowed, "doc_id", "left_semi")
+        w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(cand_k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "doc_id", "score")
+        )
+    if page > 1:
+        lo, hi = (page - 1) * k, page * k
+        top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
+    if not with_metadata:
+        return top
+    top_local, meta = probe_doc_map(
+        index, top, ["doc_id", "conv_id", "turn_idx", "role"])
+    return (
+        meta.join(F.broadcast(top_local), "doc_id", "inner")
+        .select("rank", "doc_id", "conv_id", "turn_idx", "role", "score")
+        .orderBy("rank")
+    )
