@@ -66,6 +66,15 @@ _POSITION_COLS = [
     "doc_deltas", "tfs", "dls", "pos_deltas",
 ]
 
+# the FUSED build (index/store.py with_positions=True) writes position
+# blocks carrying the three posting-only metadata columns too, so the
+# postings table derives from the positions table by a pure columnar
+# copy — one tokenize pass for both tables instead of two full corpus
+# reads.  Readers of POSITIONS_SCHEMA simply never project the extras.
+POSITIONS_FULL_SCHEMA = POSITIONS_SCHEMA + ", cf long, max_tf int, min_dl int"
+
+_POSITION_FULL_COLS = _POSITION_COLS + ["cf", "max_tf", "min_dl"]
+
 
 def _encode_ranges(values: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                    codec: str) -> list[bytes]:
@@ -95,7 +104,7 @@ def encode_positions_bucket(pdf: pd.DataFrame,
     term — the same split rule as the posting blocks — via numpy segment
     arithmetic over the whole bucket (no per-term Python loop)."""
     if len(pdf) == 0:
-        return pd.DataFrame(columns=_POSITION_COLS)
+        return pd.DataFrame(columns=_POSITION_FULL_COLS)
     bucket = int(pdf["bucket"].iloc[0])
     doc = pdf["doc_id"].to_numpy(np.int64)
     pos = pdf["pos"].to_numpy(np.int64)
@@ -154,6 +163,10 @@ def encode_positions_bucket(pdf: pd.DataFrame,
     occ_block_start = occ_bounds[bstart]
     occ_block_end = occ_bounds[bend]
 
+    # posting-block metadata from the SAME group arrays the buffers encode
+    # (tf_per_group ≡ the tf column of the posting build, g_dl ≡ dl), so
+    # the fused build's derived postings are value-identical to a direct
+    # encode_bucket_frame pass — same reduceat over the same sequences
     return pd.DataFrame(
         {
             "term": block_term,
@@ -169,8 +182,11 @@ def encode_positions_bucket(pdf: pd.DataFrame,
             "pos_deltas": _encode_ranges(
                 pos_delta, occ_block_start, occ_block_end, codec
             ),
+            "cf": np.add.reduceat(tf_per_group, bstart).astype(np.int64),
+            "max_tf": np.maximum.reduceat(tf_per_group, bstart).astype(np.int32),
+            "min_dl": np.minimum.reduceat(g_dl, bstart).astype(np.int32),
         }
-    )[_POSITION_COLS]
+    )[_POSITION_FULL_COLS]
 
 
 def decode_positions_block(
@@ -201,11 +217,20 @@ def decode_positions_block(
 
 def fused_tokenize_positions(docs_bucketed: DataFrame,
                              field_col: str | None = None,
-                             codec: str = "varint") -> DataFrame:
+                             codec: str = "varint",
+                             full: bool = False) -> DataFrame:
     """Tokenize + position-encode each doc-range partition in ONE
     ``mapInPandas`` pass (the build.fused_tokenize_encode shape: bucket ≡
-    partition, zero shuffle, only compressed blocks cross Arrow)."""
+    partition, zero shuffle, only compressed blocks cross Arrow).
+
+    ``full=True`` additionally emits the posting-only block metadata
+    (cf, max_tf, min_dl) so the FUSED index build (store.build_index
+    ``with_positions=True``) can derive the postings table from this one
+    pass by a columnar copy — the corpus is tokenized exactly once for
+    both tables."""
     sel = ["bucket", "doc_id", "text"] + ([field_col] if field_col else [])
+    cols = _POSITION_FULL_COLS if full else _POSITION_COLS
+    schema = POSITIONS_FULL_SCHEMA if full else POSITIONS_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames: list[pd.DataFrame] = []
@@ -220,19 +245,19 @@ def fused_tokenize_positions(docs_bucketed: DataFrame,
             occ["field"] = occ[field_col] if field_col else UNSCOPED_FIELD
             frames.append(occ)
         if not frames:
-            yield pd.DataFrame(columns=_POSITION_COLS)
+            yield pd.DataFrame(columns=cols)
             return
         all_occ = pd.concat(frames, ignore_index=True)
         outs = []
         for (_b, fld), grp in all_occ.groupby(["bucket", "field"], sort=True):
             enc = encode_positions_bucket(grp, codec=codec)
             enc["field"] = fld
-            outs.append(enc[_POSITION_COLS])
+            outs.append(enc[cols])
         yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            columns=_POSITION_COLS
+            columns=cols
         )
 
-    return docs_bucketed.select(*sel).mapInPandas(run, schema=POSITIONS_SCHEMA)
+    return docs_bucketed.select(*sel).mapInPandas(run, schema=schema)
 
 
 def _meta_path(index_dir: str) -> str:
@@ -322,7 +347,19 @@ def build_positions(spark: SparkSession, index_dir: str,
             finally:
                 if old_cost is not None:
                     spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
-    # drop superseded bucket dirs (ids the manifest no longer lists)
+    stamp_positions_meta(index_dir, codec, buckets, field_col)
+    return {"buckets_built": len(todo), "buckets_total": len(buckets)}
+
+
+def stamp_positions_meta(index_dir: str, codec: str, buckets: list[int],
+                         field_col: str | None) -> None:
+    """Commit point of a positions build: drop superseded bucket dirs
+    (ids the manifest no longer lists) and atomically write the meta
+    stamp covering exactly ``buckets``.  Shared by ``build_positions``
+    and the fused index build (store.build_index ``with_positions``)."""
+    import shutil
+
+    pos_root = os.path.join(index_dir, "positions")
     keep = {f"bucket={b}" for b in buckets}
     if os.path.isdir(pos_root):
         for name in os.listdir(pos_root):
@@ -338,4 +375,3 @@ def build_positions(spark: SparkSession, index_dir: str,
     with open(mpath + ".tmp", "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
     os.replace(mpath + ".tmp", mpath)
-    return {"buckets_built": len(todo), "buckets_total": len(buckets)}

@@ -212,6 +212,7 @@ def build_index(
     fail_after_buckets: int | None = None,
     field_col: str | None = None,
     codec: str = "varint",
+    with_positions: bool = True,
 ) -> dict:
     """Full (or resumed) index build.  Returns build metrics dict.
 
@@ -222,6 +223,18 @@ def build_index(
     the scan; unscoped results are unchanged.
     ``codec``: posting-buffer value codec ("varint" | "pfor"); buffers are
     flag-prefixed, so mixed-codec indexes decode fine.
+    ``with_positions`` (default): the FUSED build — one tokenize pass
+    emits position blocks carrying the posting metadata too
+    (positions.fused_tokenize_positions ``full=True``); the postings
+    table then derives from the positions table by a pure columnar copy
+    (pos_deltas never read — Parquet column pruning gives the Lucene
+    .doc/.pos file split for free).  Tokenizing the corpus once instead
+    of twice halves the dominant build cost of a phrase-enabled index;
+    at 100 TB it removes a second full corpus read.  Value-identical
+    posting blocks by construction (same group arrays, same reduceat —
+    tests assert byte equality); ``build_positions`` afterwards is a
+    no-op re-stamp.  ``with_positions=False`` restores the postings-only
+    pass (maintenance paths that never serve phrases).
     """
     params = params or BM25Params()
     os.makedirs(index_dir, exist_ok=True)
@@ -258,7 +271,8 @@ def build_index(
 
     all_buckets = sorted(counts)
     done = completed_buckets(spark, index_dir)
-    todo = [b for b in all_buckets if b not in done]
+    remaining = [b for b in all_buckets if b not in done]
+    todo = remaining
     if fail_after_buckets is not None:
         todo = todo[:fail_after_buckets]
 
@@ -284,8 +298,38 @@ def build_index(
             docs = spark.read.schema(BUCKETED_SCHEMA).parquet(doc_map_path)
             if len(todo) != len(all_buckets):
                 docs = docs.filter(F.col("bucket").isin(todo))
-            postings = fused_tokenize_encode(docs, field_col=field_col,
-                                             codec=codec)
+            if with_positions:
+                from anisearch_model_spark.index.positions import (
+                    POSITIONS_FULL_SCHEMA,
+                    fused_tokenize_positions,
+                )
+
+                combined = fused_tokenize_positions(
+                    docs, field_col=field_col, codec=codec, full=True)
+                pos_root = os.path.join(index_dir, "positions")
+                (
+                    combined.write.mode("overwrite")
+                    .partitionBy("bucket", "field")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(pos_root)
+                )
+                tp = _mark("positions_build", tp)
+                # postings = columnar copy of the combined blocks minus
+                # pos_deltas (never read — column pruning); zero Python
+                pos_blocks = (
+                    spark.read.schema(POSITIONS_FULL_SCHEMA)
+                    .option("basePath", pos_root).parquet(pos_root)
+                )
+                if len(todo) != len(all_buckets):
+                    pos_blocks = pos_blocks.filter(F.col("bucket").isin(todo))
+                postings = pos_blocks.select(
+                    "term", "bucket", "field", "block_id", "n", "cf",
+                    "first_doc_id", "last_doc_id", "max_tf", "min_dl",
+                    "doc_deltas", "tfs", "dls",
+                )
+            else:
+                postings = fused_tokenize_encode(docs, field_col=field_col,
+                                                 codec=codec)
             (
                 postings.write.mode("overwrite")
                 .partitionBy("bucket", "field")
@@ -301,6 +345,16 @@ def build_index(
         stats = finalize_metadata(spark, index_dir, n_docs, params, num_buckets,
                                   field_col=field_col, codec=codec)
         _mark("finalize", tp)
+        if with_positions and len(todo) == len(remaining):
+            # positions commit point — only when this run covered every
+            # remaining bucket (a fail_after_buckets partial build leaves
+            # the stamp off, exactly like an interrupted build_positions;
+            # the resumed build stamps at ITS end)
+            from anisearch_model_spark.index.positions import (
+                stamp_positions_meta,
+            )
+
+            stamp_positions_meta(index_dir, codec, all_buckets, field_col)
     else:
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             stats = json.load(f)

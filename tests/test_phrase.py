@@ -247,7 +247,9 @@ def test_serve_loop_phrase_requests(spark, tmp_path):
     ]
     tr = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     d = str(tmp_path / "idx")
-    build_index(spark, tr, d, num_buckets=1)
+    # positions-less index (the fused r6 build stamps positions by
+    # default, so the no-positions error path needs the explicit opt-out)
+    build_index(spark, tr, d, num_buckets=1, with_positions=False)
 
     reqs = [
         _json.dumps({"query": "alpha beta", "phrase": True, "k": 5}),
