@@ -99,6 +99,21 @@ def _fresh_token_cache(df: DataFrame, id_col: str, text_col: str,
     return toks
 
 
+def _injective_int_hash(units: DataFrame, col: str) -> bool:
+    """True iff ``xxhash64`` is collision-free on the DISTINCT values of
+    ``units[col]`` — checked, not assumed: one tiny two-aggregate job
+    over the (cached) relation.  When true, the verify stage can compare
+    int64 arrays instead of string arrays: ~2.5× less intersect CPU and
+    ~3× fewer bytes per array element (guide §2.3 narrower types), with
+    PROVABLY identical Jaccard counts on this corpus.  A collision
+    (probability ~|vocab|²/2⁶⁵) falls back to raw strings."""
+    r = units.agg(
+        F.countDistinct(col).alias("nv"),
+        F.countDistinct(F.xxhash64(col)).alias("nh"),
+    ).collect()[0]
+    return int(r["nv"]) == int(r["nh"])
+
+
 def _verify_jaccard(cand: DataFrame, toks: DataFrame,
                     threshold: float) -> DataFrame:
     """Exact-Jaccard verify, CANDIDATE-DRIVEN: each candidate pair joins
@@ -109,10 +124,16 @@ def _verify_jaccard(cand: DataFrame, toks: DataFrame,
     self-join that explodes quadratically on Zipf-hot tokens, and never
     the exploded cand×token relation either (measured at sf0.1: the
     exploded verify was ~400M intermediate rows / 22s; the array form is
-    |cand| rows wide and ~4× faster).  Work is O(|cand| × tokens/doc).
+    |cand| rows wide and ~4× faster).  Work is O(|cand| × tokens/doc);
+    tokens are int64-hashed when provably injective (r6: the intersect
+    over 6.7M sf0.1 candidates dropped ~2.5×; in local/AQE runs the
+    per-doc array side auto-broadcasts, so the candidate relation never
+    shuffles at all).
     """
+    unit = (F.xxhash64("token") if _injective_int_hash(toks, "token")
+            else F.col("token"))
     tok_arr = toks.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("token")).alias("_toks"),
+        F.array_sort(F.collect_list(unit)).alias("_toks"),
         F.count("*").alias("_n"),
     )
     a = tok_arr.select(F.col("doc_id").alias("doc_a"),
@@ -226,8 +247,12 @@ def winnow_pairs(
         )
         .distinct()
     )
+    # same int64-hash trick as _verify_jaccard (checked injective, else
+    # raw strings): the fp-set intersect compares longs, not hex strings
+    fp_unit = (F.xxhash64("fp") if _injective_int_hash(fps, "fp")
+               else F.col("fp"))
     fp_arr = fps.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("fp")).alias("_fps"),
+        F.array_sort(F.collect_list(fp_unit)).alias("_fps"),
         F.count("*").alias("_n"),
     )
     a = fp_arr.select(F.col("doc_id").alias("doc_a"),
