@@ -3,10 +3,18 @@
 The reference serves one query per request (rate-limited to 1 req/s,
 ``src/api.py:160``) and reloads the model per request (``:409``).  For
 offline evaluation over a query-set table this is re-expressed as a single
-plan: broadcast the (query_id, term, idf) table, join it against the
-postings scan ONCE, fold per (query_id, doc_id) with the fixed
-ascending-term summation order, and take per-query top-k with one window —
-postings are read once regardless of query count.
+plan over ONE postings read, regardless of query count.
+
+Round-6 shape (was: decode → broadcast-join (query, term) → shuffle every
+(query, doc) partial to a collect_list/array_sort fold → second Python
+pass for local top-k): buckets are disjoint doc ranges, so a doc's ENTIRE
+score for every query is computable inside its bucket — one
+``applyInPandas`` kernel per bucket decodes the term-pruned blocks once,
+folds per (query, doc) in ascending term order (the engine's fixed float64
+summation), masks tombstones, and emits only the per-bucket per-query
+top-k.  The only shuffle moves compressed blocks to their bucket group;
+the rank window then orders ≤ |buckets|·|queries|·k rows.  Per-query
+results are bit-identical to the single-query engine (tests assert it).
 """
 
 from __future__ import annotations
@@ -33,87 +41,103 @@ def batch_topk(index: IndexStore, queries: pd.DataFrame, k: int = 10,
     n_docs = int(index.stats["n_docs"])
     k1, b = params.k1, params.b
 
-    # driver-side query tokenize (shared contract): (query_id, term)
+    # driver-side query tokenize (shared contract): query → sorted terms
     tokenized = tokenize_series(queries["query_text"])
-    qt_rows = [
-        (int(qid), t)
+    qterms = {
+        int(qid): sorted(set(toks))
         for qid, toks in zip(queries["query_id"], tokenized)
-        for t in sorted(set(toks))
-    ]
-    empty = spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
-    if not qt_rows:
+    }
+    empty = spark.createDataFrame(
+        [], "query_id long, rank long, doc_id long, score double")
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
         return empty
-    all_terms = sorted({t for _, t in qt_rows})
 
     dfs = index.term_dfs(all_terms)
     idf = {t: float(bm25_idf(np.array([df]), n_docs)[0]) for t, df in dfs.items()}
-    qt_rows = [(q, t) for q, t in qt_rows if t in idf]
-    if not qt_rows:
+    # drop absent terms; ascending order per query = the fold order
+    qterms = {q: [t for t in ts if t in idf] for q, ts in qterms.items()}
+    qterms = {q: ts for q, ts in qterms.items() if ts}
+    if not qterms:
         return empty
-    qterms = spark.createDataFrame(qt_rows, "query_id long, term string")
 
     bidf = spark.sparkContext.broadcast(idf)
-    blocks = index.postings.filter(F.col("term").isin(sorted(idf.keys())))
+    bq = spark.sparkContext.broadcast(qterms)
+    tomb = index.tombstones
+    btomb = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
-    def decode(batches):
+    blocks = index.postings.filter(F.col("term").isin(sorted(idf.keys()))).select(
+        "bucket", "term", "first_doc_id", "doc_deltas", "tfs", "dls"
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         from anisearch_model_spark.index.codec import decode_posting_block
 
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                d, t, dl = decode_posting_block(
-                    {"first_doc_id": row.first_doc_id,
-                     "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
-                ps = bm25_term_score(
-                    t, dl, np.full(len(t), bidf.value[row.term]), avgdl, k1, b)
-                outs.append(pd.DataFrame({"doc_id": d, "term": row.term, "pscore": ps}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+        out_empty = pd.DataFrame({
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if pdf.empty:
+            return out_empty
+        idf_local = bidf.value
+        # per term: concatenated (doc_ids, pscore) across its blocks —
+        # disjoint doc sets (fields partition docs), order irrelevant
+        # because each doc takes exactly ONE add per term
+        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row in pdf.itertuples(index=False):
+            d, t, dl = decode_posting_block(
+                {"first_doc_id": row.first_doc_id,
+                 "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
+            ps = bm25_term_score(
+                t, dl, np.full(len(t), idf_local[row.term]), avgdl, k1, b)
+            ent = per_term.get(row.term)
+            per_term[row.term] = (
+                (d, ps) if ent is None
+                else (np.concatenate([ent[0], d]), np.concatenate([ent[1], ps]))
+            )
+        universe = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+        codes = {t: np.searchsorted(universe, v[0])
+                 for t, v in per_term.items()}
+        dead = None
+        if btomb is not None:
+            td = btomb.value
+            pos = np.searchsorted(td, universe)
+            pos = np.minimum(pos, len(td) - 1)
+            dead = td[pos] == universe
+        outs = []
+        for qid, terms in bq.value.items():
+            acc = np.zeros(len(universe), dtype="float64")
+            hit = np.zeros(len(universe), dtype=bool)
+            for t in terms:  # ascending — the engine's fixed fold order
+                ent = per_term.get(t)
+                if ent is None:
+                    continue
+                c = codes[t]
+                acc[c] += ent[1]
+                hit[c] = True
+            if dead is not None:
+                hit &= ~dead
+            idxs = np.nonzero(hit)[0]
+            if len(idxs) == 0:
+                continue
+            if len(idxs) > k:
+                order = np.lexsort((universe[idxs], -acc[idxs]))[:k]
+                idxs = idxs[order]
+            outs.append(pd.DataFrame({
+                "query_id": np.full(len(idxs), qid, dtype="int64"),
+                "doc_id": universe[idxs],
+                "score": acc[idxs],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else out_empty
 
-    partials = blocks.select(
-        "term", "first_doc_id", "doc_deltas", "tfs", "dls"
-    ).mapInPandas(decode, schema="doc_id long, term string, pscore double")
-
-    scored = (
-        partials.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "pscore"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["pscore"],
-            ).alias("score")
-        )
-    )
-    tomb = index.tombstones
-    if len(tomb):
-        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
-        scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
-    # limit-FIRST: reduce each partition to its local per-query top-k
-    # (running heap across the partition's Arrow batches, k×|queries| rows
-    # of state) BEFORE the rank window — the window then sorts
-    # ≤ k × |queries| × |partitions| rows instead of every matching
-    # (query, doc) pair.  (score DESC, doc_id ASC) is a total order, so
-    # the local cut is exact, same discipline as TakeOrderedAndProject.
-    def local_topk(batches):
-        best: dict[int, pd.DataFrame] = {}
-        for pdf in batches:
-            for qid, g in pdf.groupby("query_id", sort=False):
-                cur = best.get(qid)
-                m = pd.concat([cur, g], ignore_index=True) if cur is not None else g
-                best[qid] = m.sort_values(
-                    ["score", "doc_id"], ascending=[False, True],
-                    kind="mergesort",
-                ).head(k)
-        if best:
-            yield pd.concat(best.values(), ignore_index=True)
-
-    reduced = scored.mapInPandas(
-        local_topk, schema="query_id long, doc_id long, score double"
+    local_tops = blocks.groupBy("bucket").applyInPandas(
+        lambda pdf: score_bucket(pdf),
+        schema="query_id long, doc_id long, score double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
+        local_tops.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
