@@ -21,12 +21,36 @@ from anisearch_model_spark.functions.windows import constant_partition
 
 def per_field_topk(scored: DataFrame, k: int, field_col: str = "field",
                    score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
-    """T1: keep top-k rows per field (candidate generation)."""
+    """T1: keep top-k rows per field (candidate generation).
+
+    Two-phase salted top-k (r6): ``field`` is low-cardinality (a handful
+    of synopsis columns / langs / return-flags), so a window partitioned
+    by field alone serializes each field's FULL sort onto one task — at
+    sf0.1 that is 600k lineitem rows on 3 tasks, and at any real scale
+    the per-field sort is the job.  Phase 1 windows over (field, salt)
+    with a deterministic salt = pmod(xxhash64(id), S) and keeps k per
+    salt — the sort spreads across |fields|·S tasks; phase 2 re-windows
+    the ≤ |fields|·S·k survivors exactly.  Per-(field,salt) top-k is a
+    superset of per-field top-k, and the salt is a pure function of the
+    id, so results are identical and run-stable (guide §2.5: never salt
+    with rand())."""
+    spark = scored.sparkSession
+    nsalt = max(spark.sparkContext.defaultParallelism, 8)
+    w1 = Window.partitionBy(field_col, "_salt").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    pre = (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nsalt)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
     w = Window.partitionBy(field_col).orderBy(
         F.desc(score_col), F.asc(id_col)
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        pre.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
