@@ -586,7 +586,16 @@ def score_matches(index: IndexStore, query_text: str,
     ``boosts`` (Lucene query-time boost, ``term^2`` semantics) scales a
     term's whole contribution by multiplying its idf before the kernel —
     exactly equivalent to ``boost · idf · tf-saturation`` and therefore
-    zero extra plan cost; unlisted terms boost 1.0."""
+    zero extra plan cost; unlisted terms boost 1.0.
+
+    r6 shape: buckets are disjoint doc ranges, so a doc's whole score is
+    computable inside its bucket — one ``applyInPandas`` kernel per
+    bucket decodes the term-pruned blocks and folds per doc in ascending
+    term order with numpy (bit-identical left-assoc float64 to the old
+    ``aggregate(array_sort(collect_list(...)))`` fold, which shuffled
+    every (term, doc) partial row to do the same addition).  The only
+    shuffle now moves compressed blocks to bucket groups; tombstones
+    mask inside the kernel."""
     params = params or BM25Params()
     spark = index.spark
     idf = resolve_query_idf(index, query_text, field=field)
@@ -594,23 +603,58 @@ def score_matches(index: IndexStore, query_text: str,
         return spark.createDataFrame([], "doc_id long, score double")
     if boosts:
         idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
-    partials = _partials(index, sorted(idf), idf, params, field=field)
-    # fold per doc in ascending term order — fixed float64 summation order
-    scored = (
-        partials.groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "pscore"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["pscore"],
-            ).alias("score")
-        )
-    )
+    _, avgdl = index.field_stats(field)
+    k1, b = params.k1, params.b
+    bidf = spark.sparkContext.broadcast(idf)
     tomb = index.tombstones
-    if len(tomb):
-        tdf = spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
-        scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
-    return scored
+    btomb = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    blocks = index.postings.filter(F.col("term").isin(list(idf.keys())))
+    if field is not None:
+        # field is a partition column: directory-level pruning at the scan
+        blocks = blocks.filter(F.col("field") == field)
+    blocks = blocks.select("bucket", "term", "first_doc_id",
+                           "doc_deltas", "tfs", "dls")
+
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        from anisearch_model_spark.index.codec import decode_posting_block
+
+        out_empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if pdf.empty:
+            return out_empty
+        idf_local = bidf.value
+        # per term: concatenated (doc_ids, pscore) across its blocks —
+        # disjoint doc sets per term, so each doc takes exactly one add
+        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row in pdf.itertuples(index=False):
+            d, t, dl = decode_posting_block(
+                {"first_doc_id": row.first_doc_id,
+                 "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
+            ps = bm25_term_score(
+                t, dl, np.full(len(t), idf_local[row.term]), avgdl, k1, b)
+            ent = per_term.get(row.term)
+            per_term[row.term] = (
+                (d, ps) if ent is None
+                else (np.concatenate([ent[0], d]), np.concatenate([ent[1], ps]))
+            )
+        universe = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+        acc = np.zeros(len(universe), dtype="float64")
+        for t in sorted(per_term):  # ascending term — the fixed fold order
+            d, ps = per_term[t]
+            acc[np.searchsorted(universe, d)] += ps
+        if btomb is not None:
+            td = btomb.value
+            pos = np.minimum(np.searchsorted(td, universe), len(td) - 1)
+            live = td[pos] != universe
+            universe, acc = universe[live], acc[live]
+        return pd.DataFrame({"doc_id": universe, "score": acc})
+
+    return blocks.groupBy("bucket").applyInPandas(
+        lambda pdf: fold_bucket(pdf), schema="doc_id long, score double"
+    )
 
 
 def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,

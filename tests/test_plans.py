@@ -150,10 +150,12 @@ def test_metadata_probe_prunes_doc_map_partitions(spark, index_dir):
     assert has_pushed_filter(q, "doc_id")
 
 
-def test_tombstone_antijoin_broadcasts(spark, index_dir, tmp_path):
-    """The live-docs filter must plan as a broadcast LEFT ANTI join (the
-    tombstone side is bounded by deletes-since-purge) — a SortMergeJoin
-    here would shuffle every scored doc against a handful of ids."""
+def test_tombstone_mask_adds_no_join(spark, index_dir, tmp_path):
+    """The live-docs filter is applied INSIDE the per-bucket fold kernel
+    (broadcast numpy mask, r6 score_matches shape) — the exhaustive
+    scorer's plan must carry NO join for tombstones (the pre-r6 shape
+    was a broadcast LEFT ANTI; a SortMergeJoin would be the scale bug),
+    and the dead ids must still be gone from the results."""
     import shutil
     from anisearch_model_spark.index.tombstones import delete_docs
     from anisearch_model_spark.plans.inspect import (
@@ -165,9 +167,10 @@ def test_tombstone_antijoin_broadcasts(spark, index_dir, tmp_path):
     delete_docs(spark, d, [0, 1, 2])
     q = topk_exhaustive(IndexStore(spark, d), "hero battle", 5)
     plan = formatted_plan(q)
-    assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" not in plan and "Join" not in plan
     assert not uses_sort_merge_join(q)
+    got = {int(r["doc_id"]) for r in q.collect()}
+    assert not got & {0, 1, 2}
 
 
 def test_facet_counts_plan_pushes_terms_and_prunes_columns(spark, index_dir):
