@@ -142,9 +142,16 @@ def finalize_metadata(spark: SparkSession, index_dir: str, n_docs: int,
         postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
             os.path.join(index_dir, "postings")
         )
-        # term-sorted within files: per-query `term IN (...)` lookups prune
-        # by Parquet row-group min/max stats instead of scanning the vocab
-        dictionary_from_postings(postings).sortWithinPartitions("term").write.mode(
+        # GLOBALLY term-range-partitioned + term-sorted within files: a
+        # per-query `term IN (...)` lookup prunes to the 1-2 files whose
+        # range covers the terms (file-level min/max skip) and then to
+        # row groups inside them — the hash-partitioned layout (pre-r6)
+        # forced every lookup to OPEN all partitions because each file
+        # spanned the whole alphabet.  Lucene's sorted term dictionary,
+        # expressed as parquet layout.
+        dictionary_from_postings(postings).repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "term"
+        ).sortWithinPartitions("term").write.mode(
             "overwrite"
         ).parquet(dict_path)
     total_tokens = (
