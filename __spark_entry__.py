@@ -524,6 +524,13 @@ def tx_quality(spark, sf_dir):
     from anisearch_model_spark.operators.textstats import with_quality_score
 
     d = _t(spark, sf_dir, "documents")
+    # documents is ONE parquet file = ONE scan partition, and the quality
+    # projection is the heavy regex work of this entry (10 stopword
+    # splits + 2 char-class replaces per row) — serial on a single task.
+    # A round-robin repartition costs ~a MB of shuffle and parallelizes
+    # the projection across the cluster; every output column is per-ROW,
+    # so the result is partition-independent (r6, guide §2.5 input skew).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return with_quality_score(d).select(
         "doc_id", "len_chars", "alnum_ratio", "punct_ratio", "stopword_ratio",
         "quality_score",

@@ -77,10 +77,16 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     length = F.length(t).cast("double")
     alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("double")
     punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("double")
-    lowered = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    # the padded-lowercase text is referenced by all 10 stopword probes:
+    # bound as its OWN projection (Catalyst keeps non-cheap multiply-
+    # referenced aliases un-collapsed), so the generated code lowers the
+    # text once instead of inlining concat(lower(text)) ten times — the
+    # inlined form cost ~2.3s of Janino COMPILE per fresh plan (r6
+    # measured 3.1s -> 0.8s cold; identical output)
+    df = df.withColumn("_lowered", F.concat(F.lit(" "), F.lower(t), F.lit(" ")))
     stop_hits = sum(
         (
-            F.size(F.split(lowered, f" {w} ")) - F.lit(1)
+            F.size(F.split(F.col("_lowered"), f" {w} ")) - F.lit(1)
             for w in _EN_PROBES
         ),
         F.lit(0),
@@ -116,7 +122,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return out.withColumn(
         "quality_score", (F.floor(composite * 10000) / 10000).cast("double")
-    )
+    ).drop("_lowered")
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -125,14 +131,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     'en' if ≥2 distinct probe words occur (word-bounded), else 'unk'.
     Deterministic and SQL-expressible (the DuckDB oracle mirrors it).
     """
-    lowered = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    # same staged-projection trick as with_quality_score: lower once,
+    # probe the bound column 10x — small generated code, one lower/row
+    df = df.withColumn(
+        "_lowered", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")))
     hits = sum(
-        (F.when(lowered.contains(f" {w} "), 1).otherwise(0) for w in _EN_PROBES),
+        (F.when(F.col("_lowered").contains(f" {w} "), 1).otherwise(0)
+         for w in _EN_PROBES),
         F.lit(0),
     )
     return df.withColumn(
         "lang_pred", F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unk"))
-    )
+    ).drop("_lowered")
 
 
 def winnow_fingerprints(
