@@ -869,27 +869,72 @@ def topk_bmw(index: IndexStore, query_text: str, k: int = 10,
     )
 
 
+# bounds for the driver-side stored-fields fetch: past these the probe
+# falls back to the pruned Spark scan (same results, cluster-side IO)
+_LOCAL_FETCH_MAX_IDS = 10_000
+_LOCAL_FETCH_MAX_BUCKETS = 64
+
+
+def fetch_doc_rows(index: IndexStore, ids: list[int],
+                   meta_cols: list[str]) -> "pd.DataFrame":
+    """Bounded driver-side stored-fields fetch (Lucene's stored-fields
+    read): resolve ``ids`` to their bucket directories via the manifest
+    and read ONLY those parquet files with pyarrow, pruning row groups by
+    the doc_id statistics (the doc_map is written doc_id-sorted within
+    each bucket) and projecting only ``meta_cols``.  No Spark job: for a
+    ≤ pages·k probe the cluster round-trip WAS the latency — the read
+    itself touches the same row groups a pruned scan task would."""
+    import pyarrow.dataset as pads
+
+    root = os.path.join(index.index_dir, "doc_map")
+    frames = []
+    idset = sorted(int(i) for i in ids)
+    for b in index.buckets_for(idset):
+        p = os.path.join(root, f"bucket={b}")
+        if not os.path.isdir(p):
+            continue
+        tbl = pads.dataset(p, format="parquet").to_table(
+            columns=[c for c in meta_cols if c != "bucket"],
+            filter=pads.field("doc_id").isin(idset),
+        )
+        frames.append(tbl.to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=[c for c in meta_cols if c != "bucket"])
+    return pd.concat(frames, ignore_index=True)
+
+
 def probe_doc_map(index: IndexStore, top: DataFrame, meta_cols: list[str],
                   meta_filter=None) -> tuple[DataFrame, DataFrame]:
     """Turn a (tiny, ≤ pages·k) ranked candidate frame into a PRUNED
     doc_map probe: collect the candidates, map their doc_ids to bucket
-    partitions via the manifest (driver-side range lookup), and filter the
-    doc_map scan to those buckets + ids.
+    partitions via the manifest (driver-side range lookup), and fetch the
+    matching doc_map rows.
 
-    Without this, every query's metadata join scans the WHOLE doc_map to
-    probe a handful of rows — at corpus scale that is a full-table read
-    per query.  With it the scan shows a PartitionFilter on bucket plus a
-    pushed doc_id IN filter, so only the few bucket directories holding
-    hits are opened (same discipline as the filtered dictionary lookup).
-    Returns (local candidate frame, pruned metadata frame)."""
+    Fast path (r6): for an unfiltered probe within the local-fetch
+    bounds, the rows are read driver-side with pyarrow from exactly the
+    candidate buckets' files (``fetch_doc_rows``) — zero Spark jobs for
+    the metadata half of a query.  Otherwise the probe is the pruned
+    cluster scan (PartitionFilter on bucket + pushed doc_id IN), which a
+    ``meta_filter`` or an oversized id set requires; without EITHER form
+    of pruning every query's metadata join would scan the whole doc_map.
+    Returns (local candidate frame, metadata frame — local on the fast
+    path, pruned scan otherwise)."""
     rows = top.collect()
     spark = index.spark
     top_local = spark.createDataFrame(rows, top.schema) if rows else \
         spark.createDataFrame([], top.schema)
+    ids = [int(r["doc_id"]) for r in rows]
+    sel_schema = index.doc_map.select(*meta_cols).schema
+    if meta_filter is None and "bucket" not in meta_cols and \
+            len(ids) <= _LOCAL_FETCH_MAX_IDS and \
+            len(index.buckets_for(ids)) <= _LOCAL_FETCH_MAX_BUCKETS:
+        pdf = (fetch_doc_rows(index, ids, meta_cols) if ids
+               else pd.DataFrame({c: [] for c in meta_cols}))
+        meta = spark.createDataFrame(pdf[list(meta_cols)], schema=sel_schema)
+        return top_local, meta
     meta = index.doc_map
     if meta_filter is not None:
         meta = meta.filter(meta_filter)
-    ids = [int(r["doc_id"]) for r in rows]
     if ids:
         meta = meta.filter(
             F.col("bucket").isin(index.buckets_for(ids))
@@ -929,13 +974,32 @@ def search(index: IndexStore, query_text: str, k: int = 10,
         top = top.filter((F.col("rank") > lo) & (F.col("rank") <= hi))
     if not with_metadata:
         return top
-    # collect the k-row top, prune the doc_map scan to its buckets + ids
-    # (partition pruning + pushed IN filter), broadcast the tiny side
+    out_schema = ("rank long, doc_id long, conv_id string, turn_idx int, "
+                  "role string, score double")
+    out_cols = ["rank", "doc_id", "conv_id", "turn_idx", "role", "score"]
+    rows = top.collect()
+    ids = [int(r["doc_id"]) for r in rows]
+    spark = index.spark
+    if len(ids) <= _LOCAL_FETCH_MAX_IDS and \
+            len(index.buckets_for(ids)) <= _LOCAL_FETCH_MAX_BUCKETS:
+        # r6 fast path: the ranked side is already collected (≤ pages·k
+        # rows) and the metadata side is a bounded driver-side
+        # stored-fields read — the attach is a pandas merge, zero extra
+        # Spark jobs (the tiny local-vs-local broadcast join cost ~0.4 s
+        # of pure scheduling per query)
+        if not rows:
+            return spark.createDataFrame([], out_schema)
+        tp = pd.DataFrame([r.asDict() for r in rows])
+        meta_pdf = fetch_doc_rows(
+            index, ids, ["doc_id", "conv_id", "turn_idx", "role"])
+        merged = tp.merge(meta_pdf, on="doc_id", how="inner").sort_values(
+            "rank", kind="mergesort")
+        return spark.createDataFrame(merged[out_cols], schema=out_schema)
     top_local, meta = probe_doc_map(
         index, top, ["doc_id", "conv_id", "turn_idx", "role"]
     )
     return (
         meta.join(F.broadcast(top_local), "doc_id", "inner")
-        .select("rank", "doc_id", "conv_id", "turn_idx", "role", "score")
+        .select(*out_cols)
         .orderBy("rank")
     )

@@ -42,21 +42,17 @@ def mlt_terms(index, doc_id: int, m: int = 5,
     for a field scope the doc is outside of) are skipped.  Raises
     ``ValueError`` for an unknown or tombstoned doc_id.
     """
-    from anisearch_model_spark.query.engine import IndexStore
+    from anisearch_model_spark.query.engine import IndexStore, fetch_doc_rows
 
     assert isinstance(index, IndexStore)
     if int(doc_id) in set(int(t) for t in index.tombstones):
         raise ValueError(f"doc {doc_id} is deleted")
-    rows = (
-        index.doc_map
-        .filter(F.col("bucket").isin(index.buckets_for([int(doc_id)])))
-        .filter(F.col("doc_id") == int(doc_id))
-        .select("text")
-        .collect()
-    )
-    if not rows:
+    # bounded driver-side stored-fields fetch (r6): one doc's text from
+    # its bucket's parquet file via pyarrow — no Spark job for the probe
+    pdf = fetch_doc_rows(index, [int(doc_id)], ["doc_id", "text"])
+    if not len(pdf):
         raise ValueError(f"doc {doc_id} not found in doc_map")
-    toks = tokenize_series(pd.Series([rows[0]["text"]])).iloc[0]
+    toks = tokenize_series(pd.Series([pdf["text"].iloc[0]])).iloc[0]
     if not toks:
         return []
     tf = Counter(toks)

@@ -165,7 +165,8 @@ def test_cli_info_and_recover(spark, tmp_path, capsys):
     assert main(["info", "--index", d]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 1 and out["n_buckets"] == 1
-    assert out["tombstones"] == 0 and out["positions"]["ready"] is False
+    # r6 fused build: positions are built and stamped by build_index
+    assert out["tombstones"] == 0 and out["positions"]["ready"] is True
     assert main(["recover", "--index", d]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["recovered"] is None

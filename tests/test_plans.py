@@ -129,25 +129,46 @@ def test_simhash_has_single_generate(spark):
     assert generate_count(simhash(d)) == 1
 
 
-def test_metadata_join_broadcasts_topk(spark, index_dir):
+def test_metadata_attach_is_local(spark, index_dir):
+    """r6: search()'s metadata attach happens driver-side (pandas merge
+    over the collected ≤ pages·k rank rows + the pyarrow stored-fields
+    fetch) — the returned frame is a LOCAL relation: no join, no
+    exchange, no scan left in its plan (the pre-r6 shape was a broadcast
+    join; a sort-merge join here was the original scale bug)."""
+    from anisearch_model_spark.plans.inspect import formatted_plan
     from anisearch_model_spark.query.engine import IndexStore, search
 
     idx = IndexStore(spark, index_dir)
     q = search(idx, "hero battle", k=5)
-    assert uses_broadcast_join(q)
+    plan = formatted_plan(q)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "doc_map" not in plan
 
 
 def test_metadata_probe_prunes_doc_map_partitions(spark, index_dir):
-    """search()'s metadata join must never scan the whole doc_map for a
-    k-row probe: the candidates' buckets become a PartitionFilter and the
-    doc_ids a pushed IN filter on the scan."""
-    from anisearch_model_spark.plans.inspect import has_partition_filter
-    from anisearch_model_spark.query.engine import IndexStore, search
+    """search()'s metadata probe must never scan the whole doc_map for a
+    k-row probe.  r6: the unfiltered probe is a bounded DRIVER-side
+    pyarrow read of the candidate buckets' files — the query plan
+    carries NO doc_map scan at all; the filtered/oversized fallback is
+    the pruned cluster scan (PartitionFilter on bucket + pushed doc_id
+    IN), asserted on the probe frame directly."""
+    from pyspark.sql import functions as F
+
+    from anisearch_model_spark.plans.inspect import (
+        formatted_plan, has_partition_filter)
+    from anisearch_model_spark.query.engine import (
+        IndexStore, probe_doc_map, search, topk_bmw)
 
     idx = IndexStore(spark, index_dir)
     q = search(idx, "hero battle", k=5)
-    assert has_partition_filter(q, "bucket")
-    assert has_pushed_filter(q, "doc_id")
+    assert "doc_map" not in formatted_plan(q)  # local fetch, no scan
+    # fallback (meta_filter forces the cluster path) still prunes
+    top = topk_bmw(idx, "hero battle", 5)
+    _local, meta = probe_doc_map(
+        idx, top, ["doc_id", "conv_id"],
+        meta_filter=F.length("text") > 0)
+    assert has_partition_filter(meta, "bucket")
+    assert has_pushed_filter(meta, "doc_id")
 
 
 def test_tombstone_mask_adds_no_join(spark, index_dir, tmp_path):
