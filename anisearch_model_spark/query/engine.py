@@ -617,44 +617,51 @@ def score_matches(index: IndexStore, query_text: str,
                            "doc_deltas", "tfs", "dls")
 
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        from anisearch_model_spark.index.codec import decode_posting_block
-
-        out_empty = pd.DataFrame({
-            "doc_id": pd.Series(dtype="int64"),
-            "score": pd.Series(dtype="float64"),
-        })
-        if pdf.empty:
-            return out_empty
-        idf_local = bidf.value
-        # per term: concatenated (doc_ids, pscore) across its blocks —
-        # disjoint doc sets per term, so each doc takes exactly one add
-        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for row in pdf.itertuples(index=False):
-            d, t, dl = decode_posting_block(
-                {"first_doc_id": row.first_doc_id,
-                 "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
-            ps = bm25_term_score(
-                t, dl, np.full(len(t), idf_local[row.term]), avgdl, k1, b)
-            ent = per_term.get(row.term)
-            per_term[row.term] = (
-                (d, ps) if ent is None
-                else (np.concatenate([ent[0], d]), np.concatenate([ent[1], ps]))
-            )
-        universe = np.unique(np.concatenate([v[0] for v in per_term.values()]))
-        acc = np.zeros(len(universe), dtype="float64")
-        for t in sorted(per_term):  # ascending term — the fixed fold order
-            d, ps = per_term[t]
-            acc[np.searchsorted(universe, d)] += ps
-        if btomb is not None:
-            td = btomb.value
-            pos = np.minimum(np.searchsorted(td, universe), len(td) - 1)
-            live = td[pos] != universe
-            universe, acc = universe[live], acc[live]
+        universe, acc = _fold_bucket_scores(
+            pdf, bidf.value, avgdl, k1, b,
+            btomb.value if btomb is not None else None)
         return pd.DataFrame({"doc_id": universe, "score": acc})
 
     return blocks.groupBy("bucket").applyInPandas(
         lambda pdf: fold_bucket(pdf), schema="doc_id long, score double"
     )
+
+
+def _fold_bucket_scores(pdf: "pd.DataFrame", idf_local: dict,
+                        avgdl: float, k1: float, b: float,
+                        tomb: "np.ndarray | None"):
+    """One bucket's term-pruned posting blocks → (sorted live doc ids,
+    fold-exact scores).  Per term: concatenated (doc_ids, pscore) across
+    its blocks (disjoint doc sets per term, so each doc takes exactly one
+    add); the per-doc accumulation runs in ASCENDING TERM ORDER — the
+    engine's fixed left-assoc float64 summation, bit-identical to the
+    pre-r6 aggregate(array_sort(collect_list(...))) fold."""
+    from anisearch_model_spark.index.codec import decode_posting_block
+
+    if pdf.empty:
+        return (np.empty(0, dtype="int64"), np.empty(0, dtype="float64"))
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for row in pdf.itertuples(index=False):
+        d, t, dl = decode_posting_block(
+            {"first_doc_id": row.first_doc_id,
+             "doc_deltas": row.doc_deltas, "tfs": row.tfs, "dls": row.dls})
+        ps = bm25_term_score(
+            t, dl, np.full(len(t), idf_local[row.term]), avgdl, k1, b)
+        ent = per_term.get(row.term)
+        per_term[row.term] = (
+            (d, ps) if ent is None
+            else (np.concatenate([ent[0], d]), np.concatenate([ent[1], ps]))
+        )
+    universe = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+    acc = np.zeros(len(universe), dtype="float64")
+    for t in sorted(per_term):  # ascending term — the fixed fold order
+        d, ps = per_term[t]
+        acc[np.searchsorted(universe, d)] += ps
+    if tomb is not None:
+        pos = np.minimum(np.searchsorted(tomb, universe), len(tomb) - 1)
+        live = tomb[pos] != universe
+        universe, acc = universe[live], acc[live]
+    return universe, acc
 
 
 def topk_exhaustive(index: IndexStore, query_text: str, k: int = 10,
