@@ -229,9 +229,10 @@ pre-warmed so no level pays cold-disk reads):
 
 Per-phase seconds (2-core vs 8-core): bucket_assign
 {ph2.get('bucket_assign')}→{ph8.get('bucket_assign')}, doc_map_write
-{ph2.get('doc_map_write')}→{ph8.get('doc_map_write')}, postings_build
-{ph2.get('postings_build')}→{ph8.get('postings_build')} (the dominant
-tokenize+encode phase scales at ~{round((ph2.get('postings_build', 1) / max(ph8.get('postings_build', 1), 1e-9)) / 4, 2)}
+{ph2.get('doc_map_write')}→{ph8.get('doc_map_write')}, tokenize+encode
+{ph2.get('positions_build', ph2.get('postings_build'))}→{ph8.get('positions_build', ph8.get('postings_build'))} (the dominant
+fused tokenize+encode phase — 'positions_build' in the r6 fused build,
+'postings_build' before it — scales at ~{round((ph2.get('positions_build', ph2.get('postings_build', 1)) / max(ph8.get('positions_build', ph8.get('postings_build', 1)), 1e-9)) / 4, 2)}
 efficiency; the residual gap is the one corpus shuffle + doc_map write on
 a single local disk, which scales with node count on a real cluster).
 
