@@ -63,6 +63,10 @@ class IndexStore:
         self._snapshot_paths: dict[str, list[str]] = {}  # table → bucket dirs
         self._tomb: np.ndarray | None = None  # sorted tombstoned doc ids
         self._tomb_mtime: float | None = None
+        # dictionary file → (min_term, max_term) from parquet footers,
+        # the driver-side term index behind the local lookup fast path
+        self._dict_ranges: list[tuple[str | None, str | None, str]] | None = None
+        self._dict_ranges_mtime: float | None = None
         self._n_entities: int | None = None  # conversation count (BM25F N)
         with open(os.path.join(index_dir, "stats.json"), encoding="utf-8") as f:
             self.stats = json.load(f)
@@ -188,23 +192,29 @@ class IndexStore:
         within one field — the dictionary is per (term, field); unscoped
         df is the sum over fields, since fields partition the doc set).
 
-        Cache misses are served by a FILTERED dictionary scan
-        (``term IN (...)`` reaches the Parquet reader as a pushed filter;
-        the dictionary is written term-sorted within files so row-group
-        min/max stats prune most of it).  Never loads the full vocabulary
-        to the driver: against 100 TB of noisy web text Heaps' law puts
-        the vocab at 10⁸–10⁹ terms — an unconditional ``toPandas()`` of it
-        (round-1 shape) is a driver OOM, while a per-query lookup collects
-        ≤ |query terms| rows.  Hot terms stay cached across queries, and
-        absent terms are negative-cached so repeated misses cost nothing.
+        Cache misses are served driver-side when possible
+        (``_term_dfs_local``: footer-range file pruning + pyarrow read —
+        zero Spark jobs, Lucene's in-process term dictionary), else by a
+        FILTERED dictionary scan (``term IN (...)`` reaches the Parquet
+        reader as a pushed filter; the dictionary is written term-sorted
+        within files so row-group min/max stats prune most of it).  Never
+        loads the full vocabulary to the driver: against 100 TB of noisy
+        web text Heaps' law puts the vocab at 10⁸–10⁹ terms — an
+        unconditional ``toPandas()`` of it (round-1 shape) is a driver
+        OOM, while a per-query lookup reads ≤ |query terms| covering
+        files/row groups on either path.  Hot terms stay cached across
+        queries, and absent terms are negative-cached so repeated misses
+        cost nothing.
         """
         missing = [t for t in terms if (field, t) not in self._df_cache]
         if missing:
-            d = self.dictionary.filter(F.col("term").isin(missing))
-            if field is not None:
-                d = d.filter(F.col("field") == field)
-            rows = d.groupBy("term").agg(F.sum("df").alias("df")).collect()
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = self._term_dfs_local(missing, field)
+            if found is None:
+                d = self.dictionary.filter(F.col("term").isin(missing))
+                if field is not None:
+                    d = d.filter(F.col("field") == field)
+                rows = d.groupBy("term").agg(F.sum("df").alias("df")).collect()
+                found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[(field, t)] = found.get(t)
         out = {}
@@ -216,6 +226,84 @@ class IndexStore:
         while len(self._df_cache) > self._df_cache_max:
             self._df_cache.popitem(last=False)
         return out
+
+    # exact-term lookups above this count fall back to the cluster scan;
+    # candidate files scale with |terms| (≤ ~2 covering files per term),
+    # so the cap bounds driver file-handle work, not correctness
+    LOCAL_DICT_MAX_TERMS = 4096
+
+    def _dict_file_ranges(self) -> list[tuple[str | None, str | None, str]]:
+        """(min_term, max_term, path) per dictionary data file, from the
+        parquet footer statistics — the dictionary is term-range
+        partitioned and term-sorted within files (index/store.py), so
+        these ranges are Lucene's in-RAM term index: an exact-term lookup
+        touches only the 1-2 files whose range covers it.  Cached until
+        the directory mtime changes (any rewrite replaces files).  A file
+        without usable stats gets (None, None) = always a candidate —
+        pruning is an optimization, never a correctness gate."""
+        droot = os.path.join(self.index_dir, "dictionary")
+        mtime = os.path.getmtime(droot)
+        if self._dict_ranges is None or mtime != self._dict_ranges_mtime:
+            import pyarrow.parquet as pq
+
+            ranges: list[tuple[str | None, str | None, str]] = []
+            for fn in sorted(os.listdir(droot)):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(droot, fn)
+                md = pq.ParquetFile(path).metadata
+                names = [md.schema.column(i).name
+                         for i in range(md.num_columns)]
+                ci = names.index("term")
+                lo: str | None = None
+                hi: str | None = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = None, None
+                        break
+                    # parquet stores a COVERING range (truncated min ≤
+                    # true min, adjusted max ≥ true max), so pruning on
+                    # it only ever keeps extra files, never drops one
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+                ranges.append((lo, hi, path))
+            self._dict_ranges = ranges
+            self._dict_ranges_mtime = mtime
+        return self._dict_ranges
+
+    def _term_dfs_local(self, terms: list[str],
+                        field: str | None) -> dict[str, int] | None:
+        """Driver-side exact-term dictionary lookup (the term_dfs fast
+        path): prune to the files whose footer range covers a queried
+        term and read them with pyarrow — row groups pruned by the same
+        statistics, the residual ``term IN`` filter applied exactly.  A
+        per-query lookup of ≤ |query terms| rows paid a whole Spark job
+        of scheduling latency (~0.2-0.4 s measured) for a read that
+        touches the same row groups this does in ~5 ms; same move as the
+        stored-fields fetch (fetch_doc_rows).  Returns None — caller
+        falls back to the cluster scan — on any failure or oversized
+        term set, so the fast path can never change results."""
+        if len(terms) > self.LOCAL_DICT_MAX_TERMS:
+            return None
+        try:
+            import pyarrow.dataset as pads
+
+            ranges = self._dict_file_ranges()
+            cand = [p for lo, hi, p in ranges
+                    if lo is None or any(lo <= t <= hi for t in terms)]
+            if not cand:
+                return {}
+            flt = pads.field("term").isin(terms)
+            if field is not None:
+                flt = flt & (pads.field("field") == field)
+            tbl = pads.dataset(cand, format="parquet").to_table(
+                columns=["term", "df"], filter=flt)
+            pdf = tbl.to_pandas()
+            return {t: int(v)
+                    for t, v in pdf.groupby("term")["df"].sum().items()}
+        except Exception:
+            return None
 
     def _manifest(self) -> dict:
         """The current committed manifest (the index SNAPSHOT).  Re-read
